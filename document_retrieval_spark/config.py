@@ -1,0 +1,116 @@
+"""Shared configuration objects — ONE source of truth for text + scoring semantics.
+
+The engine (Spark side) and the oracle (NumPy side) consume the same config
+objects so both always apply identical semantics; this mirrors the reference's
+implicit conventions, made explicit.
+
+Reference semantics captured here (see SURVEY.md §2.3/§2.9):
+- punctuation handling: `bm25_ranking.ipynb cell 1:5` deletes string.punctuation
+  via str.translate; `cosine_similarity_bm25_reranking.py:48-53` replaces with
+  space + lowercases; `bm25_text_preprocessing.py:43` strips non-alphanumerics.
+- stopword removal: case-insensitive membership test, token kept in original
+  case (`bm25_ranking.ipynb cell 1:14`).
+- word bigrams appended to unigrams, '_'-joined (`bm25_ranking.ipynb cell 1:23-25`).
+- BM25 variant 1 (canonical, the Kaggle-best system):
+  idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+  score = idf * tf * (k1+1) / (tf + k1 * (1 - b + dl/avgdl))   -- NO `b*` on dl/avgdl
+  (`bm25_ranking.ipynb cell 3:24-25,38`; `final_implementation.py:115-118,127-145`),
+  with each DISTINCT query term counted once (`cell 3:29` uses set(query)).
+- standard Robertson form (variants 2/4: `... k1*(1 - b + b*dl/avgdl)`) available
+  behind `length_norm="standard"` (`team_run1.py:190-191`).
+"""
+
+from __future__ import annotations
+
+import string
+from dataclasses import dataclass, field
+
+# A fixed, checked-in English stopword list so tests never need NLTK downloads
+# (FIXTURES.md §4; the reference unions NLTK stopword sets at
+# `bm25_ranking.ipynb cell 0:32-38` — same role, hermetic source).
+DEFAULT_STOPWORDS: tuple[str, ...] = (
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from",
+    "has", "he", "in", "is", "it", "its", "of", "on", "that", "the",
+    "to", "was", "were", "will", "with",
+)
+
+PUNCT = string.punctuation  # !"#$%&'()*+,-./:;<=>?@[\]^_`{|}~
+
+
+@dataclass(frozen=True)
+class TokenizerConfig:
+    """Text-normalization pipeline config.
+
+    punct_mode:
+      - "delete":      str.translate delete of string.punctuation
+                       (reference F1, `bm25_ranking.ipynb cell 1:5`)
+      - "space":       punctuation -> " " (reference F1b,
+                       `cosine_similarity_bm25_reranking.py:48-53`)
+      - "alnum_space": non-[a-zA-Z0-9\\s] -> " " (reference F1c,
+                       `bm25_text_preprocessing.py:43`)
+    """
+
+    lowercase: bool = False
+    punct_mode: str = "delete"
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS
+    # Append '_'-joined word bigrams to the unigram stream
+    # (`bm25_ranking.ipynb cell 1:23-25`, fr/de/es/it path).
+    bigrams: bool = False
+    # Lemmatize/stem hooks (pandas-UDF path only; require nltk — gated).
+    lemmatize: bool = False
+    stem_lang: str | None = None
+
+    def stopword_set(self) -> frozenset[str]:
+        return frozenset(w.lower() for w in self.stopwords)
+
+
+# The profile used for oracle-parity tests: reference-exact semantics of the
+# best system (`bm25_ranking.ipynb cell 1`): keep case, delete punctuation,
+# whitespace split, case-insensitive stopword removal, no bigrams.
+REFERENCE_PROFILE = TokenizerConfig()
+
+# The profile used for DuckDB-oracle correctness queries (__spark_entry__):
+# fully expressible in ANSI SQL on both engines — lowercase, strip
+# non-alphanumerics to space, whitespace split, no stopwords.
+SQL_SAFE_PROFILE = TokenizerConfig(lowercase=True, punct_mode="alnum_space", stopwords=())
+
+
+@dataclass(frozen=True)
+class BM25Config:
+    """BM25 scoring constants — k1=1.5, b=0.75 everywhere in the reference
+    (`bm25_ranking.ipynb cell 3:3`, `team_run1.py:190-191`)."""
+
+    k1: float = 1.5
+    b: float = 0.75
+    # "reference": (1 - b + dl/avgdl)    — variant 1, non-standard, canonical here
+    # "standard" : (1 - b + b*dl/avgdl)  — variants 2/4 textbook Robertson form
+    length_norm: str = "reference"
+    # Each distinct query term scored once (set(query), `cell 3:29`).
+    unique_query_terms: bool = True
+
+    def length_factor(self, dl: float, avgdl: float) -> float:
+        rel = dl / avgdl
+        if self.length_norm == "standard":
+            rel = self.b * rel
+        return 1.0 - self.b + rel
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Physical index layout knobs (engine-only; the oracle has no layout)."""
+
+    n_shards: int = 32           # term-shard count for the build shuffle
+    n_shard_groups: int = 8      # checkpoint/resume granularity (FIXTURES.md §5)
+    block_size: int = 128        # postings per delta+varbyte block (SURVEY §7 M2)
+    # terms whose per-partition partial df exceeds this get salted during the
+    # build shuffle (hot-term skew, successor of the en-shard 20x skew —
+    # `final_implementation.py:228`).
+    salt_df_threshold: int = 10_000
+    n_salts: int = 16
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    tokenizer: TokenizerConfig = field(default_factory=lambda: REFERENCE_PROFILE)
+    bm25: BM25Config = field(default_factory=BM25Config)
+    index: IndexConfig = field(default_factory=IndexConfig)

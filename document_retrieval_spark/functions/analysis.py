@@ -1,0 +1,97 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+These extend the reference's capability surface (SURVEY.md §2.3 scalar
+functions) with the operations a 100 TB corpus-curation pipeline needs:
+token counting, quality scoring, language-ID, and document fingerprinting.
+Everything here is built-in ``pyspark.sql.functions`` (JVM-side, codegen) —
+no Python in the hot path — and each has an exact ANSI-SQL twin used by the
+DuckDB oracle in ``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_STOPWORDS, PUNCT
+
+# Marker words for the n-gram/stopword language-ID heuristic. Deterministic,
+# tiny, broadcast as literals into the expression.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "une", "pas", "pour"),
+    "es": ("el", "los", "las", "es", "una", "por", "que", "con"),
+}
+
+
+def ws_tokens(col: Column) -> Column:
+    """Lower-cased whitespace tokens of the raw text (analysis granularity)."""
+    return F.filter(F.split(F.trim(F.lower(col)), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count_expr(col: Column) -> Column:
+    """Whitespace token count — the reference's `len(text.split())` doc-length
+    variant (`document_ranking_with_bm25.py:152-153`)."""
+    return F.size(ws_tokens(col))
+
+
+def add_quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality signals: length, token stats, punctuation density,
+    stopword ratio. Ratios are rounded to 6dp so Spark and the SQL oracle hash
+    identically."""
+    c = F.col(text_col)
+    toks = ws_tokens(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.translate(c, PUNCT, ""))
+    sw = sorted(set(DEFAULT_STOPWORDS))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(sw)))
+    return (
+        df.withColumn("n_chars", n_chars.cast("bigint"))
+        .withColumn("n_tokens", n_tokens.cast("bigint"))
+        .withColumn(
+            "punct_ratio",
+            F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)), 6),
+        )
+        .withColumn(
+            "avg_token_len",
+            F.round(
+                F.aggregate(
+                    toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
+                )
+                / F.greatest(n_tokens, F.lit(1)),
+                6,
+            ),
+        )
+    )
+
+
+def lang_id_expr(col: Column) -> Column:
+    """Marker-word language-ID heuristic (reference F9 uses fast_langdetect —
+    `team_run1.py:49-56`; we use a deterministic, SQL-expressible stand-in):
+    argmax of per-language marker hits, ties and zero-hits -> 'und'."""
+    toks = ws_tokens(col)
+    counts = {
+        lang: F.size(F.filter(toks, lambda t, m=markers: t.isin(list(m))))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*counts.values())
+    expr = F.lit("und")
+    # deterministic priority order on ties: en < de < fr < es wins by listing
+    # order below (first match in reversed build order)
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((counts[lang] > 0) & (counts[lang] == best), F.lit(lang)).otherwise(
+            expr
+        )
+    return expr
+
+
+def simhash64(tokens: Column, term_hash: Column) -> Column:  # pragma: no cover
+    """Placeholder marker — real SimHash lives in operators/dedup.py where the
+    term-dictionary id assignment makes it oracle-comparable."""
+    raise NotImplementedError("use operators.dedup.simhash_signatures")

@@ -1,0 +1,124 @@
+"""Tokenization as Spark expressions — the F1/F1b/F1c/F3/F5 pipeline of
+SURVEY.md §2.3, in two flavors:
+
+1. ``tokenize_expr`` — pure built-in ``pyspark.sql.functions`` (JVM-side,
+   whole-stage-codegen'd; zero Python in the hot path). This is the default
+   engine tokenizer for every config expressible natively (all of them except
+   lemmatize/stem).
+2. ``tokenize_pandas_udf`` — Arrow-batched pandas UDF that calls the SAME
+   oracle tokenizer per batch (no row-at-a-time F.udf — input_hint forbids
+   per-row Python). Needed only for the nltk lemma/stem hooks
+   (`bm25_ranking.ipynb cell 1:16-21`), and used in tests to prove the native
+   path is token-identical.
+
+Reference parity notes:
+- punctuation delete via str.translate (`bm25_ranking.ipynb cell 1:5`)
+  -> ``F.translate(text, PUNCT, "")``;
+- punctuation->space + lower (`cosine_similarity_bm25_reranking.py:48-53`)
+  -> ``F.translate(text, PUNCT, "   ...")`` + ``F.lower``;
+- non-alnum strip (`bm25_text_preprocessing.py:43`) -> ``F.regexp_replace``;
+- stopword removal keeps ORIGINAL case, compares lowercase
+  (`bm25_ranking.ipynb cell 1:14`) -> higher-order ``F.filter`` with
+  ``F.lower(t).isin(...)``;
+- '_'-joined bigrams appended to unigrams (`cell 1:23-25`)
+  -> ``F.zip_with`` over shifted slices + ``F.concat``;
+- whitespace squeeze loop (`cosine_similarity_bm25_reranking.py:62-64`)
+  -> single ``F.regexp_replace(text, " +", " ")``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import PUNCT, TokenizerConfig
+
+
+def squeeze_ws(col: Column) -> Column:
+    """F10: collapse repeated spaces (the reference loops .replace 10x)."""
+    return F.regexp_replace(col, " +", " ")
+
+
+def _normalize_expr(col: Column, cfg: TokenizerConfig) -> Column:
+    if cfg.punct_mode == "delete":
+        col = F.translate(col, PUNCT, "")
+    elif cfg.punct_mode == "space":
+        col = F.translate(col, PUNCT, " " * len(PUNCT))
+    elif cfg.punct_mode == "alnum_space":
+        col = F.regexp_replace(col, r"[^a-zA-Z0-9\s]", " ")
+    else:  # pragma: no cover
+        raise ValueError(cfg.punct_mode)
+    if cfg.lowercase:
+        col = F.lower(col)
+    return col
+
+
+def tokenize_expr(col: Column, cfg: TokenizerConfig) -> Column:
+    """text column -> array<string> token column, built-ins only."""
+    if cfg.lemmatize or cfg.stem_lang:
+        raise ValueError("lemmatize/stem require tokenize_pandas_udf")
+    arr = F.split(F.trim(_normalize_expr(col, cfg)), r"\s+")
+    arr = F.filter(arr, lambda t: t != F.lit(""))
+    if cfg.stopwords:
+        sw = sorted(cfg.stopword_set())
+        arr = F.filter(arr, lambda t: ~F.lower(t).isin(sw))
+    if cfg.bigrams:
+        n = F.size(arr)
+        bi = F.zip_with(
+            F.slice(arr, 1, n - 1),
+            F.slice(arr, 2, n - 1),
+            lambda a, b: F.concat_ws("_", a, b),
+        )
+        arr = F.when(n >= 2, F.concat(arr, bi)).otherwise(arr)
+    return arr
+
+
+def tokenize_pandas_udf(cfg: TokenizerConfig):
+    """Arrow-batched tokenizer UDF sharing the oracle implementation.
+
+    Lemmatize/stem (reference `bm25_ranking.ipynb cell 1:16-21`) are applied
+    here when enabled; they degrade gracefully to identity if nltk data is
+    unavailable (tests marked @pytest.mark.nltk cover the real thing).
+    """
+    from ..oracle.bm25 import oracle_tokenize
+
+    lemmatizer = None
+    stemmer = None
+    if cfg.lemmatize or cfg.stem_lang:
+        try:  # gated import — nltk is optional in this environment
+            if cfg.lemmatize:
+                from nltk.stem import WordNetLemmatizer
+
+                lemmatizer = WordNetLemmatizer()
+            if cfg.stem_lang:
+                from nltk.stem.snowball import SnowballStemmer
+
+                stemmer = SnowballStemmer(cfg.stem_lang)
+        except Exception:
+            lemmatizer = stemmer = None
+
+    base_cfg = TokenizerConfig(
+        lowercase=cfg.lowercase,
+        punct_mode=cfg.punct_mode,
+        stopwords=cfg.stopwords,
+        bigrams=False,  # bigrams come AFTER lemma/stem, as in the reference
+    )
+    want_bigrams = cfg.bigrams
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _tok(s: pd.Series) -> pd.Series:
+        def one(text):
+            toks = oracle_tokenize(text, base_cfg)
+            if lemmatizer is not None:
+                toks = [lemmatizer.lemmatize(t) for t in toks]
+            if stemmer is not None:
+                toks = [stemmer.stem(t) for t in toks]
+            if want_bigrams and len(toks) >= 2:
+                toks = toks + ["_".join(p) for p in zip(toks, toks[1:])]
+            return toks
+
+        return s.map(one)
+
+    return _tok

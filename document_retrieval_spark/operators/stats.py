@@ -1,0 +1,85 @@
+"""Index statistics: tf / df / dl / avgdl / N / idf (SURVEY.md §2.4 A1-A5).
+
+All plain DataFrame aggregations — Tungsten hash agg with map-side partials,
+which is exactly the distributed version of the reference's one-pass dict
+build (`bm25_ranking.ipynb cell 3:3-25`) and of team_run1's local-index +
+merge (`team_run1.py:80-121`).
+
+Scale notes:
+- A1 (term frequency) is `explode -> groupBy(docid, term)`: partial agg runs
+  before the shuffle, so the shuffle carries (docid, term, tf) — already
+  collapsed, not raw tokens.
+- A2 (document frequency) derives from A1 output: each (docid, term) row is
+  distinct by construction, so df = count(*) per term — NO countDistinct
+  shuffle (mirrors the reference counting once per containing doc,
+  `cell 3:20-21`).
+- idf is a scalar expression over df + broadcast scalars (N), no extra agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import TokenizerConfig
+from ..functions.text import tokenize_expr
+
+
+def tokenize_documents(
+    docs: DataFrame, cfg: TokenizerConfig, text_col: str = "text"
+) -> DataFrame:
+    """docs(docid, text, ...) -> + (tokens array<string>, dl int).
+
+    dl = post-preprocessing token count incl. appended bigrams — the
+    reference's doc length (`bm25_ranking.ipynb cell 3:37`, SURVEY A5).
+    """
+    return docs.withColumn("tokens", tokenize_expr(F.col(text_col), cfg)).withColumn(
+        "dl", F.size("tokens")
+    )
+
+
+def term_frequencies(tok_docs: DataFrame, lang_col: str | None = None) -> DataFrame:
+    """A1: (docid[, lang], term, tf)."""
+    keys = ["docid"] + ([lang_col] if lang_col else [])
+    return (
+        tok_docs.select(*keys, F.explode("tokens").alias("term"))
+        .groupBy(*keys, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def doc_stats(tok_docs: DataFrame, lang_col: str | None = None) -> DataFrame:
+    keys = ["docid"] + ([lang_col] if lang_col else [])
+    return tok_docs.select(*keys, "dl")
+
+
+def collection_stats(tok_docs: DataFrame, lang_col: str | None = None) -> DataFrame:
+    """A4: per-language (or global) N and avgdl — the reference computes these
+    per language model (`cell 3:6-7`), hard-coded in the Kaggle runner
+    (`final_implementation.py:300-318`); we persist them as a stats table."""
+    keys = [lang_col] if lang_col else []
+    g = tok_docs.groupBy(*keys) if keys else tok_docs.groupBy()
+    return g.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+
+def build_term_stats(
+    tf: DataFrame, coll: DataFrame, lang_col: str | None = None
+) -> DataFrame:
+    """A2+A3: (term[, lang], df, idf) with
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5))  (`cell 3:24-25`, variant 1).
+
+    `coll` is tiny (one row per language) — broadcast join, no shuffle on the
+    big side beyond the df agg itself.
+    """
+    keys = ["term"] + ([lang_col] if lang_col else [])
+    df_tbl = tf.groupBy(*keys).agg(F.count("*").alias("df"))
+    if lang_col:
+        joined = df_tbl.join(F.broadcast(coll), lang_col)
+    else:
+        joined = df_tbl.crossJoin(F.broadcast(coll))
+    n = F.col("n_docs").cast("double")
+    return joined.withColumn(
+        "idf", F.log1p((n - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    )

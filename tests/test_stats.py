@@ -1,0 +1,71 @@
+"""Stats parity: engine (N, avgdl, dl, df, idf) == oracle dicts exactly
+(SURVEY.md §5.2 item 4)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from document_retrieval_spark.config import REFERENCE_PROFILE
+from document_retrieval_spark.operators import assemble_documents
+from document_retrieval_spark.operators.stats import (
+    build_term_stats,
+    collection_stats,
+    term_frequencies,
+    tokenize_documents,
+)
+
+
+@pytest.fixture(scope="module")
+def engine_tables(spark, transcripts_df):
+    docs = tokenize_documents(assemble_documents(transcripts_df), REFERENCE_PROFILE)
+    docs.cache()
+    tf = term_frequencies(docs)
+    coll = collection_stats(docs)
+    stats = build_term_stats(tf, coll)
+    return docs, tf, coll, stats
+
+
+def test_collection_stats(engine_tables, oracle_index):
+    _, _, coll, _ = engine_tables
+    row = coll.collect()[0]
+    assert row["n_docs"] == oracle_index.n_docs
+    assert math.isclose(row["avgdl"], oracle_index.avgdl, rel_tol=1e-12)
+
+
+def test_doc_lengths(engine_tables, oracle_index):
+    docs, _, _, _ = engine_tables
+    got = {r["docid"]: r["dl"] for r in docs.select("docid", "dl").collect()}
+    for ord_, docid in enumerate(oracle_index.doc_ids):
+        assert got[docid] == oracle_index.dl[ord_], docid
+
+
+def test_tf_table(engine_tables, oracle_index):
+    _, tf, _, _ = engine_tables
+    got = {(r["docid"], r["term"]): r["tf"] for r in tf.collect()}
+    want = {
+        (oracle_index.doc_ids[d], t): v
+        for d, freqs in enumerate(oracle_index.tf)
+        for t, v in freqs.items()
+    }
+    assert got == want
+
+
+def test_df_idf(engine_tables, oracle_index):
+    _, _, _, stats = engine_tables
+    rows = stats.collect()
+    assert len(rows) == len(oracle_index.df)
+    for r in rows:
+        assert r["df"] == oracle_index.df[r["term"]], r["term"]
+        assert math.isclose(r["idf"], oracle_index.idf[r["term"]], rel_tol=1e-12)
+
+
+def test_df_equals_distinct_doc_term_pairs(engine_tables):
+    """Index structural invariant: sum(df) == count of distinct (doc,term)."""
+    _, tf, _, stats = engine_tables
+    import pyspark.sql.functions as F
+
+    total_df = stats.agg(F.sum("df")).collect()[0][0]
+    pairs = tf.select("docid", "term").distinct().count()
+    assert total_df == pairs

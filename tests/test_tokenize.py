@@ -1,0 +1,71 @@
+"""Native-F tokenizer == oracle tokenizer, token for token, across configs
+(SURVEY.md §5.2: engine and oracle share one tokenizer config object)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_retrieval_spark.config import (
+    REFERENCE_PROFILE,
+    SQL_SAFE_PROFILE,
+    TokenizerConfig,
+)
+from document_retrieval_spark.functions.text import tokenize_expr, tokenize_pandas_udf
+from document_retrieval_spark.oracle import oracle_tokenize
+
+CASES = [
+    "Hello, world! This is a TEST.",
+    "  leading and   multiple   spaces\tand tabs ",
+    "punct!@#$%^&*()_+-=[]{}|;':\",./<>?everywhere",
+    "",
+    "The the THE tHe stopword Case keeps Original",
+    "a.b,c;d:e f_g h-i",
+    "unicode café naïve 北京 mixed",
+    "numbers 123 45.67 8,900",
+]
+
+CONFIGS = [
+    REFERENCE_PROFILE,
+    SQL_SAFE_PROFILE,
+    TokenizerConfig(lowercase=True, punct_mode="space"),
+    TokenizerConfig(punct_mode="delete", bigrams=True),
+    TokenizerConfig(lowercase=True, punct_mode="alnum_space", stopwords=(), bigrams=True),
+]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS, ids=[str(i) for i in range(len(CONFIGS))])
+def test_native_expr_matches_oracle(spark, cfg):
+    df = spark.createDataFrame([(t,) for t in CASES], ["text"])
+    got = [
+        r["toks"]
+        for r in df.select(tokenize_expr(F.col("text"), cfg).alias("toks"))
+        .collect()
+    ]
+    want = [oracle_tokenize(t, cfg) for t in CASES]
+    assert got == want
+
+
+def test_pandas_udf_matches_oracle(spark):
+    cfg = REFERENCE_PROFILE
+    df = spark.createDataFrame([(t,) for t in CASES], ["text"])
+    got = [
+        r["toks"]
+        for r in df.select(tokenize_pandas_udf(cfg)(F.col("text")).alias("toks"))
+        .collect()
+    ]
+    want = [oracle_tokenize(t, cfg) for t in CASES]
+    assert got == want
+
+
+def test_fixture_corpus_tokens_match(spark, transcripts_df, oracle_docs):
+    """Whole fixture corpus through doc assembly + native tokenizer."""
+    from document_retrieval_spark.operators import assemble_documents
+
+    docs = assemble_documents(transcripts_df)
+    toks = docs.select(
+        "docid", tokenize_expr(F.col("text"), REFERENCE_PROFILE).alias("toks")
+    )
+    got = {r["docid"]: r["toks"] for r in toks.collect()}
+    for docid, text in oracle_docs:
+        assert got[docid] == oracle_tokenize(text, REFERENCE_PROFILE), docid
