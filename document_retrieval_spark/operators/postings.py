@@ -1,0 +1,258 @@
+"""Distributed inverted-index construction (SURVEY.md §7 M2; north_rule core).
+
+Pipeline shape (the Spark-first successor of team_run1's map -> driver-merge,
+`team_run1.py:80-121`, whose single-threaded reduce we replace with a
+term-sharded shuffle):
+
+  tf(docid, term, tf) ⋈ doc ordinals/lengths
+    -> [salt hot terms]  groupBy(term, salt): sorted partial posting arrays
+    -> groupBy(term):    merge partials (flatten + array_sort — JVM-side)
+    -> segment + encode: Arrow pandas UDF, delta+varbyte blocks w/ block-max
+    -> postings table partitioned by shard
+
+Skew handling is explicit (north_rule): a df pre-pass marks hot terms
+(df > salt_df_threshold); their per-(term,salt) partials bound any single
+reduce group to ~df/n_salts postings — the engine's answer to the 20x en-shard
+skew the reference hard-codes around (`final_implementation.py:228`).
+
+Block-max metadata: each 128-posting block stores max_q = max over the block
+of the BM25 tf/length quotient  tf*(k1+1)/(tf + k1*(1-b+dl/avgdl)); a term's
+score upper bound in that block is idf*max_q. Safe for WAND because variant-1
+idf = log1p(...) >= 0 (SURVEY §2.9).
+
+Scale notes:
+- doc ordinals come from zipWithIndex on a range-partitioned sort — the one
+  legitimate RDD use (no driver collect, no single-partition window).
+- hot terms are additionally split into SEGMENT rows of <= seg_postings
+  postings so no single output row exceeds ~hundreds of KB (a df=10^9 term
+  becomes ~8k rows, not one 3 GB row).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import BM25Config, IndexConfig
+from .codec import delta_encode, vb_encode
+
+BLOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("base", T.LongType()),      # first doc ordinal in block
+        T.StructField("last", T.LongType()),      # last doc ordinal in block
+        T.StructField("n", T.IntegerType()),
+        T.StructField("max_q", T.DoubleType()),   # block-max BM25 quotient
+        T.StructField("docs", T.BinaryType()),    # delta+varbyte ordinals
+        T.StructField("tfs", T.BinaryType()),     # varbyte tfs
+        T.StructField("dls", T.BinaryType()),     # varbyte doc lengths
+    ]
+)
+
+SEGMENT_SCHEMA_FIELDS = """
+    term string, shard int, seg_id int, n_segs int,
+    df bigint, n_postings int, first_ord bigint, last_ord bigint,
+    max_q double
+"""
+
+
+def assign_doc_ordinals(docs: DataFrame, n_parts: int | None = None) -> DataFrame:
+    """docs(docid, ...) -> + doc_ord (dense 0..N-1, ascending by docid).
+
+    Range-partition by docid, sort within partitions, zipWithIndex — fully
+    distributed dense-id assignment (the J4 positional-index mapping of the
+    reference, `bm25_ranking.ipynb cell 6:19-20`, without driver-side arrays).
+    """
+    n_parts = n_parts or docs.sparkSession.sparkContext.defaultParallelism
+    ordered = docs.repartitionByRange(n_parts, "docid").sortWithinPartitions("docid")
+    schema = ordered.schema.add("doc_ord", T.LongType(), False)
+    rdd = ordered.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
+    return docs.sparkSession.createDataFrame(rdd, schema)
+
+
+def quotient_expr(bm25: BM25Config):
+    """The per-posting BM25 quotient (score = idf * quotient)."""
+    tf = F.col("tf").cast("double")
+    rel = F.col("dl").cast("double") / F.col("avgdl")
+    if bm25.length_norm == "standard":
+        rel = F.lit(bm25.b) * rel
+    return tf * F.lit(bm25.k1 + 1.0) / (tf + F.lit(bm25.k1) * (F.lit(1.0 - bm25.b) + rel))
+
+
+def _encode_udf(block_size: int, seg_postings: int):
+    """Arrow pandas UDF: per-term sorted postings arrays -> encoded segments.
+
+    Input row: (term, shard, df, idf, postings: array<struct<doc_ord,tf,dl,q>>)
+    Output: one row per SEGMENT with encoded blocks (exploded by caller).
+    """
+    out_schema = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("seg_id", T.IntegerType()),
+                T.StructField("n_segs", T.IntegerType()),
+                T.StructField("n_postings", T.IntegerType()),
+                T.StructField("first_ord", T.LongType()),
+                T.StructField("last_ord", T.LongType()),
+                T.StructField("max_q", T.DoubleType()),
+                T.StructField("blocks", T.ArrayType(BLOCK_SCHEMA)),
+            ]
+        )
+    )
+
+    @F.pandas_udf(out_schema)
+    def encode(postings: pd.Series) -> pd.Series:
+        def one(plist):
+            # plist: numpy array of dicts? Arrow gives list of dicts; convert
+            ords = np.fromiter((p["doc_ord"] for p in plist), dtype=np.int64)
+            tfs = np.fromiter((p["tf"] for p in plist), dtype=np.int64)
+            dls = np.fromiter((p["dl"] for p in plist), dtype=np.int64)
+            qs = np.fromiter((p["q"] for p in plist), dtype=np.float64)
+            n = ords.size
+            n_segs = max(1, -(-n // seg_postings))
+            segs = []
+            for s in range(n_segs):
+                lo, hi = s * seg_postings, min((s + 1) * seg_postings, n)
+                so, st, sd, sq = ords[lo:hi], tfs[lo:hi], dls[lo:hi], qs[lo:hi]
+                blocks = []
+                for b0 in range(0, so.size, block_size):
+                    b1 = min(b0 + block_size, so.size)
+                    blocks.append(
+                        {
+                            "base": int(so[b0]),
+                            "last": int(so[b1 - 1]),
+                            "n": int(b1 - b0),
+                            "max_q": float(sq[b0:b1].max()),
+                            "docs": delta_encode(so[b0:b1]),
+                            "tfs": vb_encode(st[b0:b1]),
+                            "dls": vb_encode(sd[b0:b1]),
+                        }
+                    )
+                segs.append(
+                    {
+                        "seg_id": s,
+                        "n_segs": n_segs,
+                        "n_postings": int(hi - lo),
+                        "first_ord": int(so[0]),
+                        "last_ord": int(so[-1]),
+                        "max_q": float(sq.max()),
+                        "blocks": blocks,
+                    }
+                )
+            return segs
+
+        return postings.map(one)
+
+    return encode
+
+
+def build_postings(
+    tf_ord: DataFrame,        # (docid, doc_ord, term, tf, dl)
+    term_stats: DataFrame,    # (term, df, idf, n_docs, avgdl)
+    idx_cfg: IndexConfig,
+    bm25: BM25Config,
+    seg_postings: int = 128 * 1024,
+) -> DataFrame:
+    """-> encoded postings table:
+    (term, shard, seg_id, n_segs, df, idf, n_postings, first_ord, last_ord,
+     max_q, blocks array<BLOCK>).
+
+    Two-stage agg with explicit hot-term salting; the merge stage flattens and
+    re-sorts partial arrays JVM-side (array_sort on struct sorts by doc_ord
+    first), so Python only sees the final per-term array once, in the Arrow
+    encode UDF.
+    """
+    hot = term_stats.select(
+        "term",
+        (F.col("df") > idx_cfg.salt_df_threshold).alias("is_hot"),
+        "df",
+        "idf",
+        "avgdl",
+    )
+    enriched = tf_ord.join(F.broadcast(hot), "term").withColumn(
+        "q", quotient_expr(bm25)
+    )
+    salted = enriched.withColumn(
+        "salt",
+        F.when(
+            F.col("is_hot"),
+            F.pmod(F.xxhash64("docid"), F.lit(idx_cfg.n_salts)),
+        ).otherwise(F.lit(0)),
+    )
+    partials = salted.groupBy("term", "salt").agg(
+        F.sort_array(
+            F.collect_list(F.struct("doc_ord", "tf", "dl", "q"))
+        ).alias("plist"),
+        F.first("df").alias("df"),
+        F.first("idf").alias("idf"),
+    )
+    merged = partials.groupBy("term").agg(
+        F.array_sort(F.flatten(F.collect_list("plist"))).alias("postings"),
+        F.first("df").alias("df"),
+        F.first("idf").alias("idf"),
+    )
+    shard = F.pmod(F.xxhash64("term"), F.lit(idx_cfg.n_shards)).cast("int")
+    encode = _encode_udf(idx_cfg.block_size, seg_postings)
+    enc = (
+        merged.withColumn("shard", shard)
+        .withColumn("segs", encode(F.col("postings")))
+        .drop("postings")
+    )
+    seg = enc.select(
+        "term",
+        "shard",
+        "df",
+        "idf",
+        F.explode("segs").alias("seg"),
+    )
+    return seg.select(
+        "term",
+        "shard",
+        F.col("seg.seg_id").alias("seg_id"),
+        F.col("seg.n_segs").alias("n_segs"),
+        "df",
+        "idf",
+        F.col("seg.n_postings").alias("n_postings"),
+        F.col("seg.first_ord").alias("first_ord"),
+        F.col("seg.last_ord").alias("last_ord"),
+        F.col("seg.max_q").alias("max_q"),
+        F.col("seg.blocks").alias("blocks"),
+    )
+
+
+def decode_postings_df(postings: DataFrame) -> DataFrame:
+    """Decode an encoded postings table back to long form
+    (term, doc_ord, tf, dl) — used by round-trip tests and as a recovery path.
+    """
+    from .codec import delta_decode, vb_decode
+
+    out_schema = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("doc_ord", T.LongType()),
+                T.StructField("tf", T.IntegerType()),
+                T.StructField("dl", T.IntegerType()),
+            ]
+        )
+    )
+
+    @F.pandas_udf(out_schema)
+    def decode(blocks: pd.Series) -> pd.Series:
+        def one(blist):
+            rows = []
+            for b in blist:
+                ords = delta_decode(bytes(b["docs"]))
+                tfs = vb_decode(bytes(b["tfs"]))
+                dls = vb_decode(bytes(b["dls"]))
+                rows.extend(
+                    {"doc_ord": int(o), "tf": int(t), "dl": int(d)}
+                    for o, t, d in zip(ords, tfs, dls)
+                )
+            return rows
+
+        return blocks.map(one)
+
+    return postings.select(
+        "term", F.explode(decode(F.col("blocks"))).alias("p")
+    ).select("term", "p.doc_ord", "p.tf", "p.dl")

@@ -1,0 +1,258 @@
+"""Block-max WAND top-k scorer over the compressed postings table
+(SURVEY.md §7 M3; north_rule: "posting-list intersect with block-max WAND
+pruning and a bounded min-heap").
+
+Distribution model: queries are the parallel unit. Query terms join to their
+posting segments (inner join == the inverted-index probe J1, pruning to
+touched terms only), then ``groupBy(query_id).applyInPandas`` runs the
+document-at-a-time WAND loop per query with
+
+- lazy block decode (a block's 3 varbyte streams are only decoded when the
+  cursor actually lands in it),
+- global and block-level upper bounds ub = idf * max_q (safe because
+  variant-1 idf >= 0, SURVEY §2.9),
+- a bounded min-heap of k candidates keyed (score, -doc_ord) so equal scores
+  keep the smaller ordinal == smaller docid — the engine tie rule,
+- the classic pivot/seek loop with the BMW shallow-skip refinement.
+
+This is the pruned twin of query/bm25.py's exhaustive scorer; tests assert
+they (and the NumPy oracle) agree rank-identically. At 2k reference queries
+the per-query groups are small and uniform — the WAND shuffle moves only the
+COMPRESSED segments each query touches.
+
+Scale note: a single query with a very hot term still gathers that term's
+segments to one task; block-max lets it skip most decode work, and the
+segment rows cap memory per row. For single-query latency at extreme df the
+doc-partitioned variant (score per doc-range, merge top-k) is the documented
+alternative (README); the reference workload (2k queries, Kaggle batch) maps
+to this per-query layout.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import BM25Config
+from .bm25 import bm25_term_score  # noqa: F401  (doc parity reference)
+from ..operators.codec import delta_decode, vb_decode
+
+
+class _Cursor:
+    """Iterates one term's posting segments block-by-block with lazy decode."""
+
+    __slots__ = (
+        "idf", "k1", "one_minus_b", "b_over", "avgdl", "segs", "seg_i",
+        "blk_i", "ords", "tfs", "dls", "pos", "done", "ub", "order_key",
+    )
+
+    def __init__(
+        self,
+        idf: float,
+        segs: list[dict],
+        bm25: BM25Config,
+        avgdl: float,
+        order_key: int = 0,
+    ):
+        # order_key fixes the per-doc float summation order (ascending term
+        # order) so scores are bit-reproducible run to run — last-ulp sum
+        # differences would otherwise swap equal-score ties (SURVEY §7 risks).
+        self.order_key = order_key
+        # segs: [{first_ord, last_ord, max_q, blocks:[{base,last,n,max_q,docs,tfs,dls}]}]
+        self.idf = idf
+        self.k1 = bm25.k1
+        self.avgdl = avgdl
+        if bm25.length_norm == "standard":
+            self.one_minus_b = 1.0 - bm25.b
+            self.b_over = bm25.b / avgdl
+        else:
+            self.one_minus_b = 1.0 - bm25.b
+            self.b_over = 1.0 / avgdl
+        self.segs = sorted(segs, key=lambda s: s["first_ord"])
+        self.seg_i = 0
+        self.blk_i = 0
+        self.pos = 0
+        self.done = not self.segs
+        self.ub = idf * max((s["max_q"] for s in self.segs), default=0.0)
+        if not self.done:
+            self._load_block()
+
+    def _cur_blocks(self):
+        return self.segs[self.seg_i]["blocks"]
+
+    def _load_block(self):
+        b = self._cur_blocks()[self.blk_i]
+        self.ords = delta_decode(bytes(b["docs"]))
+        self.tfs = vb_decode(bytes(b["tfs"])).astype(np.float64)
+        self.dls = vb_decode(bytes(b["dls"])).astype(np.float64)
+        self.pos = 0
+
+    def cur_doc(self) -> int:
+        return int(self.ords[self.pos])
+
+    def cur_block_last(self) -> int:
+        return int(self._cur_blocks()[self.blk_i]["last"])
+
+    def cur_block_ub(self) -> float:
+        return self.idf * float(self._cur_blocks()[self.blk_i]["max_q"])
+
+    def cur_score(self) -> float:
+        tf = self.tfs[self.pos]
+        dl = self.dls[self.pos]
+        denom = tf + self.k1 * (self.one_minus_b + dl * self.b_over)
+        return self.idf * tf * (self.k1 + 1.0) / denom
+
+    def advance(self):
+        self.pos += 1
+        if self.pos < self.ords.size:
+            return
+        self.blk_i += 1
+        if self.blk_i < len(self._cur_blocks()):
+            self._load_block()
+            return
+        self.seg_i += 1
+        self.blk_i = 0
+        if self.seg_i < len(self.segs):
+            self._load_block()
+        else:
+            self.done = True
+
+    def seek(self, target: int):
+        """Advance to the first posting with doc_ord >= target."""
+        if self.done:
+            return
+        # skip whole segments
+        while self.seg_i < len(self.segs) and self.segs[self.seg_i]["last_ord"] < target:
+            self.seg_i += 1
+            self.blk_i = 0
+            if self.seg_i < len(self.segs):
+                self._load_block()
+        if self.seg_i >= len(self.segs):
+            self.done = True
+            return
+        # skip blocks via metadata (no decode)
+        blocks = self._cur_blocks()
+        moved = False
+        while self.blk_i < len(blocks) and blocks[self.blk_i]["last"] < target:
+            self.blk_i += 1
+            moved = True
+        if self.blk_i >= len(blocks):  # can't happen: seg last_ord >= target
+            self.done = True
+            return
+        if moved:
+            self._load_block()
+        self.pos = int(np.searchsorted(self.ords[self.pos :], target, "left")) + self.pos
+
+
+def _wand_one_query(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
+    """Classic WAND with block-max shallow skips; returns [(doc_ord, score)]
+    ranked by (score desc, doc_ord asc)."""
+    heap: list[tuple[float, int]] = []  # (score, -doc_ord) min-heap
+
+    def theta() -> float:
+        return heap[0][0] if len(heap) >= k else float("-inf")
+
+    alive = [c for c in cursors if not c.done]
+    while alive:
+        alive.sort(key=lambda c: c.cur_doc())
+        th = theta()
+        acc = 0.0
+        pivot = -1
+        for i, c in enumerate(alive):
+            acc += c.ub
+            if acc > th:
+                pivot = i
+                break
+        if pivot < 0:
+            break  # no remaining doc can beat theta
+        pivot_doc = alive[pivot].cur_doc()
+        if alive[0].cur_doc() == pivot_doc:
+            # all cursors 0..pivot sit on pivot_doc (sorted); block-max check
+            matching = [c for c in alive if not c.done and c.cur_doc() == pivot_doc]
+            block_ub = sum(c.cur_block_ub() for c in matching)
+            if block_ub <= th:
+                # shallow skip: no doc until the nearest block end can win
+                d_skip = min(c.cur_block_last() for c in matching) + 1
+                nxt = [c.cur_doc() for c in alive if c.cur_doc() > pivot_doc]
+                if nxt:
+                    d_skip = min(d_skip, min(nxt))
+                d_skip = max(d_skip, pivot_doc + 1)
+                for c in matching:
+                    c.seek(d_skip)
+            else:
+                score = sum(
+                    c.cur_score()
+                    for c in sorted(matching, key=lambda c: c.order_key)
+                )
+                if score > th or (len(heap) < k):
+                    item = (score, -pivot_doc)
+                    if len(heap) < k:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
+                for c in matching:
+                    c.advance()
+        else:
+            # advance the highest-ub cursor among those strictly BEFORE the
+            # pivot doc (index-before is not enough: an earlier cursor may
+            # already sit on pivot_doc, and seeking it would not move)
+            pre = [c for c in alive[:pivot] if c.cur_doc() < pivot_doc]
+            chosen = max(pre, key=lambda c: c.ub)
+            chosen.seek(pivot_doc)
+        alive = [c for c in alive if not c.done]
+
+    out = sorted(((s, -nd) for s, nd in heap), key=lambda x: (-x[0], x[1]))
+    return [(d, s) for s, d in out]
+
+
+def wand_topk(
+    query_terms: DataFrame,   # (query_id, term)
+    postings: DataFrame,      # encoded segments from build_postings
+    doc_map: DataFrame,       # (docid, doc_ord)
+    coll: DataFrame,          # (n_docs, avgdl) — one row (or per lang)
+    bm25: BM25Config,
+    k: int = 10,
+) -> DataFrame:
+    """-> (query_id, rank, docid, score)."""
+    avgdl = float(coll.select("avgdl").first()["avgdl"])
+    touched = postings.join(F.broadcast(query_terms), "term").select(
+        "query_id", "term", "idf", "first_ord", "last_ord", "max_q", "blocks"
+    )
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["query_id"].iloc[0]
+        cursors = []
+        # sort=True: ascending term order == the oracle's sorted(set(query))
+        # summation order — bit-identical per-doc scores
+        for ti, (term, grp) in enumerate(pdf.groupby("term", sort=True)):
+            idf = float(grp["idf"].iloc[0])
+            segs = [
+                {
+                    "first_ord": int(r.first_ord),
+                    "last_ord": int(r.last_ord),
+                    "max_q": float(r.max_q),
+                    "blocks": list(r.blocks),
+                }
+                for r in grp.itertuples()
+            ]
+            cursors.append(_Cursor(idf, segs, bm25, avgdl, order_key=ti))
+        ranked = _wand_one_query(cursors, k)
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "rank": np.arange(1, len(ranked) + 1, dtype=np.int32),
+                "doc_ord": [d for d, _ in ranked],
+                "score": [s for _, s in ranked],
+            }
+        )
+
+    res = touched.groupBy("query_id").applyInPandas(
+        score_group, schema="query_id string, rank int, doc_ord long, score double"
+    )
+    return res.join(doc_map.select("docid", "doc_ord"), "doc_ord").select(
+        "query_id", "rank", "docid", "score"
+    )

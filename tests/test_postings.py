@@ -1,0 +1,154 @@
+"""Index structural invariants (SURVEY.md §5.2 item 3): varbyte round-trip
+property tests, sorted posting lists, block-max dominance, df consistency."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from document_retrieval_spark.config import (
+    REFERENCE_PROFILE,
+    BM25Config,
+    IndexConfig,
+)
+from document_retrieval_spark.operators.codec import (
+    delta_decode,
+    delta_encode,
+    vb_decode,
+    vb_encode,
+)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_varbyte_round_trip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert vb_decode(vb_encode(arr)).tolist() == vals
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**40), min_size=1, max_size=300, unique=True
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_delta_round_trip(vals):
+    arr = np.array(sorted(vals), dtype=np.int64)
+    assert delta_decode(delta_encode(arr)).tolist() == sorted(vals)
+
+
+def test_delta_rejects_unsorted():
+    with pytest.raises(ValueError):
+        delta_encode(np.array([5, 3], dtype=np.int64))
+
+
+@pytest.fixture(scope="module")
+def index_tables(spark, transcripts_df):
+    from document_retrieval_spark.operators import assemble_documents
+    from document_retrieval_spark.operators.postings import (
+        assign_doc_ordinals,
+        build_postings,
+    )
+    from document_retrieval_spark.operators.stats import (
+        build_term_stats,
+        collection_stats,
+        term_frequencies,
+        tokenize_documents,
+    )
+
+    docs = tokenize_documents(assemble_documents(transcripts_df), REFERENCE_PROFILE)
+    docs_ord = assign_doc_ordinals(docs.select("docid", "dl"))
+    docs_ord.cache()
+    tf = term_frequencies(tokenize_documents(assemble_documents(transcripts_df), REFERENCE_PROFILE))
+    stats = build_term_stats(tf, collection_stats(docs))
+    tf_ord = tf.join(docs_ord, "docid")
+    # low salt threshold to force the salted path on fixture data
+    cfg = IndexConfig(n_shards=8, salt_df_threshold=10, n_salts=4, block_size=16)
+    postings = build_postings(tf_ord, stats, cfg, BM25Config(), seg_postings=64)
+    postings.cache()
+    return docs_ord, tf, stats, postings, cfg
+
+
+def test_ordinals_dense_and_sorted(index_tables, oracle_index):
+    docs_ord, *_ = index_tables
+    rows = sorted(
+        (r["doc_ord"], r["docid"]) for r in docs_ord.collect()
+    )
+    assert [o for o, _ in rows] == list(range(len(rows)))
+    # ascending docid order == corpus order (oracle doc_ids are docid-sorted)
+    assert [d for _, d in rows] == oracle_index.doc_ids
+
+
+def test_round_trip_postings_match_tf(index_tables):
+    from document_retrieval_spark.operators.postings import decode_postings_df
+
+    docs_ord, tf, _, postings, _ = index_tables
+    decoded = decode_postings_df(postings)
+    want = {
+        (r["term"], r["doc_ord"]): (r["tf"], r["dl"])
+        for r in tf.join(docs_ord, "docid").collect()
+    }
+    got = {
+        (r["term"], r["doc_ord"]): (r["tf"], r["dl"]) for r in decoded.collect()
+    }
+    assert got == want
+
+
+def test_posting_lists_strictly_increasing_and_blockmax(index_tables, bm25_cfg):
+    from document_retrieval_spark.operators.codec import (
+        delta_decode,
+        vb_decode,
+    )
+
+    docs_ord, _, stats, postings, cfg = index_tables
+    avgdl = stats.select("avgdl").first()["avgdl"]
+    k1, b = bm25_cfg.k1, bm25_cfg.b
+    for row in postings.collect():
+        prev = -1
+        assert row["n_postings"] == sum(bl["n"] for bl in row["blocks"])
+        for bl in row["blocks"]:
+            ords = delta_decode(bytes(bl["docs"]))
+            tfs = vb_decode(bytes(bl["tfs"])).astype(np.float64)
+            dls = vb_decode(bytes(bl["dls"])).astype(np.float64)
+            assert (np.diff(ords) > 0).all(), row["term"]
+            assert ords[0] > prev, row["term"]  # across blocks too
+            prev = int(ords[-1])
+            assert bl["base"] == ords[0] and bl["last"] == ords[-1]
+            q = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + dls / avgdl))
+            assert bl["max_q"] >= q.max() - 1e-12, row["term"]
+            assert abs(bl["max_q"] - q.max()) < 1e-9  # tight, not just >=
+
+
+def test_df_consistency_and_segments(index_tables):
+    import pyspark.sql.functions as F
+
+    _, tf, stats, postings, _ = index_tables
+    per_term = postings.groupBy("term").agg(
+        F.sum("n_postings").alias("n"),
+        F.first("df").alias("df"),
+        F.countDistinct("seg_id").alias("nseg"),
+        F.first("n_segs").alias("n_segs"),
+    )
+    bad = per_term.filter(
+        (F.col("n") != F.col("df")) | (F.col("nseg") != F.col("n_segs"))
+    ).count()
+    assert bad == 0
+    # every term present
+    assert per_term.count() == stats.count() == tf.select("term").distinct().count()
+
+
+def test_salting_splits_hot_terms(spark, index_tables):
+    """With salt_df_threshold=10 and n_salts=4, hot terms (df>10) must have
+    been built through >1 salted partial — we can't observe the shuffle
+    directly, so assert the config path ran by checking merge correctness for
+    the hottest term plus segment splitting for df > seg_postings."""
+    docs_ord, tf, stats, postings, cfg = index_tables
+    hottest = (
+        stats.orderBy("df", ascending=False).select("term", "df").first()
+    )
+    assert hottest["df"] > cfg.salt_df_threshold  # fixture guarantees hot terms
+    seg = postings.filter(postings.term == hottest["term"]).collect()
+    total = sum(r["n_postings"] for r in seg)
+    assert total == hottest["df"]

@@ -1,0 +1,98 @@
+"""WAND scorer differential tests: block-max WAND over the compressed index
+must be rank-identical to the exhaustive join scorer AND the NumPy oracle
+(SURVEY.md §7 M3 — 'exhaustive scorer kept as the differential-testing twin')."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from document_retrieval_spark.config import (
+    REFERENCE_PROFILE,
+    BM25Config,
+    IndexConfig,
+)
+from document_retrieval_spark.operators import assemble_documents
+from document_retrieval_spark.operators.postings import (
+    assign_doc_ordinals,
+    build_postings,
+)
+from document_retrieval_spark.operators.stats import (
+    build_term_stats,
+    collection_stats,
+    term_frequencies,
+    tokenize_documents,
+)
+from document_retrieval_spark.oracle import oracle_topk
+from document_retrieval_spark.query import bm25_score_exhaustive, prepare_query_terms
+from document_retrieval_spark.query.wand import wand_topk
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def built(spark, transcripts_df):
+    docs = tokenize_documents(assemble_documents(transcripts_df), REFERENCE_PROFILE)
+    docs_ord = assign_doc_ordinals(docs.select("docid", "dl"))
+    docs_ord.cache().count()
+    tf = term_frequencies(docs)
+    coll = collection_stats(docs)
+    stats = build_term_stats(tf, coll)
+    # tiny blocks/segments so multi-block and multi-segment paths execute
+    cfg = IndexConfig(n_shards=8, salt_df_threshold=10, n_salts=4, block_size=8)
+    postings = build_postings(
+        tf.join(docs_ord, "docid"), stats, cfg, BM25Config(), seg_postings=32
+    )
+    postings.cache().count()
+    return docs, docs_ord, tf, coll, stats, postings
+
+
+def _collect_topk(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], []).append((r["rank"], r["docid"], r["score"]))
+    return {q: [(d, s) for _, d, s in sorted(v)] for q, v in out.items()}
+
+
+def test_wand_equals_exhaustive_and_oracle(
+    built, queries_df, queries_pdf, oracle_index
+):
+    docs, docs_ord, tf, coll, stats, postings = built
+    bm25 = BM25Config()
+    qt = prepare_query_terms(queries_df, REFERENCE_PROFILE, bm25)
+    wand = _collect_topk(wand_topk(qt, postings, docs_ord, coll, bm25, k=K))
+    exh = _collect_topk(
+        bm25_score_exhaustive(qt, tf, stats, docs.select("docid", "dl"), bm25, k=K)
+    )
+    assert set(wand) == set(exh)
+    for qid in exh:
+        w, e = wand[qid], exh[qid]
+        assert len(w) == len(e), qid
+        for (wd, ws), (ed, es) in zip(w, e):
+            assert math.isclose(ws, es, rel_tol=1e-9, abs_tol=1e-12), qid
+        assert {d for d, _ in w} == {d for d, _ in e}, qid
+    # and against the oracle directly
+    for _, row in queries_pdf.iterrows():
+        want = oracle_topk(oracle_index, row["query"], REFERENCE_PROFILE, bm25, k=K)
+        got = wand.get(row["query_id"], [])
+        assert len(got) == len(want), row["query_id"]
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert math.isclose(gs, ws, rel_tol=1e-6, abs_tol=1e-9), row["query_id"]
+
+
+def test_wand_k1_and_k100(built, queries_df):
+    """Bounded heap respects k; k larger than candidate count returns all."""
+    docs, docs_ord, tf, coll, stats, postings = built
+    bm25 = BM25Config()
+    qt = prepare_query_terms(queries_df.limit(5), REFERENCE_PROFILE, bm25)
+    r1 = _collect_topk(wand_topk(qt, postings, docs_ord, coll, bm25, k=1))
+    r100 = _collect_topk(wand_topk(qt, postings, docs_ord, coll, bm25, k=100))
+    exh100 = _collect_topk(
+        bm25_score_exhaustive(qt, tf, stats, docs.select("docid", "dl"), bm25, k=100)
+    )
+    for qid, lst in r1.items():
+        assert len(lst) == 1
+        assert lst[0][0] == r100[qid][0][0]
+    for qid in exh100:
+        assert [d for d, _ in r100[qid]] == [d for d, _ in exh100[qid]], qid
