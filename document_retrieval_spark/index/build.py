@@ -1,0 +1,258 @@
+"""Resumable distributed index build with per-partition checkpoints, lineage
+and metrics (SURVEY.md §7 M4; north_rule: "resumable from per-partition
+checkpoints with lineage and metrics (postings written, bytes, skew ratio)").
+
+This is the engineered successor of the reference's `os.path.exists(...)`
+materialized-DAG resume (`cosine_similarity_bm25_reranking.py:288-330`,
+`bm25_ranking.ipynb cell 4:10-17,36-58`) and of its hand-sharded pickle store
+(`save_in_batches`, `final_implementation.py:187-220`): every stage writes a
+parquet table plus a `_manifest.json` recording row counts, bytes, wall time,
+input lineage and config; a stage is skipped on re-run iff its manifest is
+present and matches the current config fingerprint.
+
+Stage DAG (each independently resumable):
+
+  docs      transcripts -> assembled+tokenized docs (docid, dl, n_turns, ts range)
+  doc_map   dense doc ordinals (docid, doc_ord, dl)
+  tf        long-form (term, docid, doc_ord, tf, dl), PARTITIONED BY shard_group
+  stats     collection stats (n_docs, avgdl) + term stats (term, df, idf)
+  postings/group=G   encoded posting segments, one job per shard group G
+                     (partition-pruned read of tf) — the per-partition
+                     checkpoint unit; FAULT_AFTER_SHARD injects a crash after
+                     group N for the resume test (FIXTURES.md §5)
+
+Why shard groups: re-running one failed group re-reads ONLY tf partitions with
+that shard_group (parquet partition pruning), so recovery cost is
+O(1/n_shard_groups) of the build, not a full re-scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import EngineConfig
+from ..operators.assemble import assemble_documents
+from ..operators.postings import assign_doc_ordinals, build_postings
+from ..operators.stats import (
+    build_term_stats,
+    collection_stats,
+    term_frequencies,
+    tokenize_documents,
+)
+
+MANIFEST = "_manifest.json"
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+class IndexBuilder:
+    def __init__(self, spark: SparkSession, cfg: EngineConfig, out_dir: str):
+        self.spark = spark
+        self.cfg = cfg
+        self.out = out_dir.rstrip("/")
+        os.makedirs(self.out, exist_ok=True)
+
+    # ---------- checkpoint plumbing ----------
+
+    def _fingerprint(self) -> dict:
+        c = self.cfg
+        return {
+            "tokenizer": vars(c.tokenizer) | {"stopwords": sorted(c.tokenizer.stopwords)},
+            "bm25": vars(c.bm25),
+            "index": vars(c.index),
+        }
+
+    def _path(self, stage: str) -> str:
+        return f"{self.out}/{stage}"
+
+    def _complete(self, stage: str) -> bool:
+        p = os.path.join(self._path(stage), MANIFEST)
+        if not os.path.exists(p):
+            return False
+        with open(p) as f:
+            m = json.load(f)
+        return m.get("fingerprint") == self._fingerprint()
+
+    def _write_manifest(self, stage: str, t0: float, extra: dict, inputs: list[str]):
+        path = self._path(stage)
+        man = {
+            "stage": stage,
+            "fingerprint": self._fingerprint(),
+            "inputs": inputs,
+            "wall_sec": round(time.time() - t0, 3),
+            "bytes": _dir_bytes(path),
+            **extra,
+        }
+        with open(os.path.join(path, MANIFEST), "w") as f:
+            json.dump(man, f, indent=1, default=str)
+        return man
+
+    def manifest(self, stage: str) -> dict | None:
+        p = os.path.join(self._path(stage), MANIFEST)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    # ---------- stages ----------
+
+    def build(self, transcripts: DataFrame) -> dict:
+        """Run all stages (skipping completed ones); returns the build report
+        with per-stage manifests + skipped flags."""
+        report: dict = {"stages": {}, "skipped": []}
+
+        if not self._complete("docs"):
+            t0 = time.time()
+            docs = tokenize_documents(assemble_documents(transcripts), self.cfg.tokenizer)
+            docs.select(
+                "docid", "dl", "n_turns", "first_ts", "last_ts"
+            ).write.mode("overwrite").parquet(self._path("docs"))
+            n = self.spark.read.parquet(self._path("docs")).count()
+            report["stages"]["docs"] = self._write_manifest(
+                "docs", t0, {"rows": n}, ["<input transcripts>"]
+            )
+        else:
+            report["skipped"].append("docs")
+
+        if not self._complete("doc_map"):
+            t0 = time.time()
+            docs = self.spark.read.parquet(self._path("docs"))
+            doc_map = assign_doc_ordinals(docs.select("docid", "dl"))
+            doc_map.write.mode("overwrite").parquet(self._path("doc_map"))
+            n = self.spark.read.parquet(self._path("doc_map")).count()
+            report["stages"]["doc_map"] = self._write_manifest(
+                "doc_map", t0, {"rows": n}, [self._path("docs")]
+            )
+        else:
+            report["skipped"].append("doc_map")
+
+        if not self._complete("tf"):
+            t0 = time.time()
+            # re-tokenize from raw transcripts (docs stage stores no tokens —
+            # token arrays are bigger than the tf long form they produce)
+            docs = tokenize_documents(assemble_documents(transcripts), self.cfg.tokenizer)
+            tf = term_frequencies(docs)
+            doc_map = self.spark.read.parquet(self._path("doc_map"))
+            g = self.cfg.index.n_shard_groups
+            tf_part = (
+                tf.join(doc_map, "docid")
+                .withColumn(
+                    "shard_group", F.pmod(F.xxhash64("term"), F.lit(g)).cast("int")
+                )
+            )
+            tf_part.write.mode("overwrite").partitionBy("shard_group").parquet(
+                self._path("tf")
+            )
+            n = self.spark.read.parquet(self._path("tf")).count()
+            report["stages"]["tf"] = self._write_manifest(
+                "tf", t0, {"rows": n}, ["<input transcripts>", self._path("doc_map")]
+            )
+        else:
+            report["skipped"].append("tf")
+
+        if not self._complete("stats"):
+            t0 = time.time()
+            docs = self.spark.read.parquet(self._path("docs"))
+            tf = self.spark.read.parquet(self._path("tf"))
+            coll = collection_stats(docs)
+            stats = build_term_stats(tf.select("term", "docid"), coll)
+            coll.write.mode("overwrite").parquet(self._path("stats/coll"))
+            stats.write.mode("overwrite").parquet(self._path("stats/terms"))
+            n = self.spark.read.parquet(self._path("stats/terms")).count()
+            report["stages"]["stats"] = self._write_manifest(
+                "stats", t0, {"terms": n}, [self._path("docs"), self._path("tf")]
+            )
+        else:
+            report["skipped"].append("stats")
+
+        fault_after = int(os.environ.get("FAULT_AFTER_SHARD", "-1"))
+        stats = self.spark.read.parquet(self._path("stats/terms"))
+        coll = self.spark.read.parquet(self._path("stats/coll"))
+        stats_b = stats.join(
+            F.broadcast(coll.select("n_docs", "avgdl")), how="cross"
+        ) if "avgdl" not in stats.columns else stats
+        for g in range(self.cfg.index.n_shard_groups):
+            stage = f"postings/group={g}"
+            if self._complete(stage):
+                report["skipped"].append(stage)
+                continue
+            t0 = time.time()
+            tf_g = self.spark.read.parquet(self._path("tf")).filter(
+                F.col("shard_group") == g
+            )
+            postings = build_postings(
+                tf_g.select("term", "docid", "doc_ord", "tf", "dl"),
+                stats_b,
+                self.cfg.index,
+                self.cfg.bm25,
+            )
+            postings.write.mode("overwrite").parquet(self._path(stage))
+            written = self.spark.read.parquet(self._path(stage))
+            agg = written.agg(
+                F.count("*").alias("segments"),
+                F.sum("n_postings").alias("postings"),
+                F.countDistinct("term").alias("terms"),
+                F.max("df").alias("max_df"),
+                F.expr("percentile_approx(df, 0.5)").alias("median_df"),
+            ).collect()[0]
+            skew = float(agg["max_df"]) / max(float(agg["median_df"]), 1.0)
+            report["stages"][stage] = self._write_manifest(
+                stage,
+                t0,
+                {
+                    "postings_written": int(agg["postings"] or 0),
+                    "segments": int(agg["segments"]),
+                    "terms": int(agg["terms"]),
+                    "max_df": int(agg["max_df"] or 0),
+                    "skew_ratio": round(skew, 2),
+                },
+                [self._path("tf"), self._path("stats/terms")],
+            )
+            if fault_after == g:
+                raise RuntimeError(
+                    f"FAULT_AFTER_SHARD={g}: injected failure after shard group {g}"
+                )
+
+        # roll-up manifest
+        groups = [self.manifest(f"postings/group={g}") for g in
+                  range(self.cfg.index.n_shard_groups)]
+        total = {
+            "postings_written": sum(m["postings_written"] for m in groups),
+            "bytes": sum(m["bytes"] for m in groups),
+            "skew_ratio": max(m["skew_ratio"] for m in groups),
+            "n_groups": len(groups),
+        }
+        with open(os.path.join(self.out, MANIFEST), "w") as f:
+            json.dump({"fingerprint": self._fingerprint(), **total}, f, indent=1)
+        report["total"] = total
+        return report
+
+
+@dataclass
+class LoadedIndex:
+    postings: DataFrame
+    doc_map: DataFrame
+    coll: DataFrame
+    term_stats: DataFrame
+
+
+def load_index(spark: SparkSession, out_dir: str) -> LoadedIndex:
+    out = out_dir.rstrip("/")
+    return LoadedIndex(
+        postings=spark.read.parquet(f"{out}/postings"),
+        doc_map=spark.read.parquet(f"{out}/doc_map"),
+        coll=spark.read.parquet(f"{out}/stats/coll"),
+        term_stats=spark.read.parquet(f"{out}/stats/terms"),
+    )

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Index-build entrypoint for spark-submit (north_rule: "run via
+spark-submit --py-files").
+
+    scripts/make_pyfiles.sh   # -> dist/document_retrieval_spark.zip
+    spark-submit --py-files dist/document_retrieval_spark.zip \
+        scripts/build_index.py \
+        --transcripts /path/to/transcripts.parquet \
+        --out /path/to/index [--synthesize 2000] [--shards 32] [--groups 8]
+
+Reads the transcripts table (Iceberg when the catalog is configured — see
+document_retrieval_spark.sources — else parquet), runs the resumable build,
+prints the per-stage report JSON (lineage + metrics) to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--transcripts", help="transcripts table path (parquet/iceberg)")
+    ap.add_argument("--out", required=True, help="index output directory")
+    ap.add_argument("--synthesize", type=int, default=0,
+                    help="generate N synthetic conversations instead of reading "
+                         "--transcripts (fixture generator, seed 42)")
+    ap.add_argument("--shards", type=int, default=32)
+    ap.add_argument("--groups", type=int, default=8)
+    ap.add_argument("--salt-df-threshold", type=int, default=10_000)
+    ap.add_argument("--length-norm", choices=["reference", "standard"],
+                    default="reference")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from document_retrieval_spark.config import (
+        REFERENCE_PROFILE,
+        BM25Config,
+        EngineConfig,
+        IndexConfig,
+    )
+    from document_retrieval_spark.index import IndexBuilder
+    from document_retrieval_spark.session import get_spark
+
+    spark = get_spark("build_index", master=args.master)
+    if args.synthesize:
+        from document_retrieval_spark.fixtures import gen_transcripts, transcripts_schema
+
+        transcripts = spark.createDataFrame(
+            gen_transcripts(args.synthesize), schema=transcripts_schema()
+        )
+    elif args.transcripts:
+        from document_retrieval_spark.sources import read_transcripts
+
+        transcripts = read_transcripts(spark, args.transcripts)
+    else:
+        ap.error("need --transcripts or --synthesize")
+
+    cfg = EngineConfig(
+        tokenizer=REFERENCE_PROFILE,
+        bm25=BM25Config(length_norm=args.length_norm),
+        index=IndexConfig(
+            n_shards=args.shards,
+            n_shard_groups=args.groups,
+            salt_df_threshold=args.salt_df_threshold,
+        ),
+    )
+    report = IndexBuilder(spark, cfg, args.out).build(transcripts)
+    json.dump(report, sys.stdout, indent=1, default=str)
+    print()
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Query entrypoint for spark-submit (BM25 top-k over a built index).
+
+    spark-submit --py-files dist/document_retrieval_spark.zip scripts/query.py \
+        --index /path/to/index --queries queries.parquet --out results.parquet \
+        [--k 10] [--scorer wand|exhaustive-like] [--submission submission.csv]
+
+--submission additionally writes the reference's submission-CSV shape
+(id, docids list) — `bm25_ranking.ipynb cell 7:1-5`.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--queries", required=True, help="parquet/csv with query_id, query")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--submission", help="also write reference-style submission CSV")
+    ap.add_argument("--length-norm", choices=["reference", "standard"],
+                    default="reference")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from document_retrieval_spark.config import REFERENCE_PROFILE, BM25Config
+    from document_retrieval_spark.index import load_index
+    from document_retrieval_spark.query import prepare_query_terms
+    from document_retrieval_spark.query.wand import wand_topk
+    from document_retrieval_spark.session import get_spark
+
+    spark = get_spark("query", master=args.master)
+    bm25 = BM25Config(length_norm=args.length_norm)
+    idx = load_index(spark, args.index)
+    if args.queries.endswith(".csv"):
+        queries = spark.read.csv(args.queries, header=True)
+    else:
+        queries = spark.read.parquet(args.queries)
+    qt = prepare_query_terms(queries, REFERENCE_PROFILE, bm25)
+    topk = wand_topk(qt, idx.postings, idx.doc_map, idx.coll, bm25, k=args.k)
+    topk.write.mode("overwrite").parquet(args.out)
+
+    if args.submission:
+        # (id, docids) with docids a stringified ranked list —
+        # `final_implementation.py:527-530`
+        sub = (
+            spark.read.parquet(args.out)
+            .groupBy("query_id")
+            .agg(
+                F.to_json(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("rank", "docid"))),
+                        lambda s: s["docid"],
+                    )
+                ).alias("docids")
+            )
+            .withColumnRenamed("query_id", "id")
+        )
+        sub.coalesce(1).write.mode("overwrite").csv(args.submission, header=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
