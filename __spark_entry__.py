@@ -1,10 +1,20 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship path (document stats -> compressed postings
+-> block-max WAND top-k) on /root/testdata/sf0.001. `queries()` exposes the
+engine's operator surface over the driver's pre-registered tables (documents,
+embeddings); `oracle_sql()` gives the DuckDB-executable ANSI-SQL twin of each.
+
+Exact-parity conventions shared by both sides (see tools/check_parity.py):
+- tokenizer = SQL_SAFE_PROFILE: lower, non-alphanumerics -> space, whitespace
+  split, drop empties (reference F1c path, `bm25_text_preprocessing.py:43`);
+- every float column is rounded to 6 dp; BM25/cosine ranks are computed on
+  the ROUNDED score with the engine tie rule (score desc, id asc) so ranking
+  is stable across engines' float summation orders;
+- avgdl is computed as sum(dl)/count (exact integer sum, one division) —
+  NOT an incremental mean — so both engines produce the identical double;
+- dedup hashes are deterministic integer arithmetic over a sorted shingle
+  dictionary (operators/dedup.py), bit-equal across engines.
 """
 
 from __future__ import annotations
@@ -13,26 +23,794 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+K1, B = 1.5, 0.75  # BM25Config defaults (`bm25_ranking.ipynb cell 3:3`)
+N_HASHES, ROWS_PER_BAND = 16, 4
+MERSENNE61 = (1 << 61) - 1
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+# Inline query set over the documents vocabulary (30 Zipf-ish terms + the
+# rare term 'dup'); q4 carries an out-of-corpus term (skip path,
+# `bm25_ranking.ipynb cell 3:31-32`), q5 a repeated term (set(query)
+# semantics, `cell 3:29`).
+QUERIES: list[tuple[str, str]] = [
+    ("q1", "spark shuffle join window"),
+    ("q2", "dup scan filter"),
+    ("q3", "customer order line value"),
+    ("q4", "hash zzzunknown merge"),
+    ("q5", "table table table sort"),
+    ("q6", "dup dup vector"),
+]
+# fixed relevance labels for the metric-parity query (values arbitrary but
+# constant: parity of the metric computation is what is tested)
+POSITIVES: list[tuple[str, int]] = [
+    ("q1", 7), ("q2", 13), ("q3", 42), ("q4", 5), ("q5", 99), ("q6", 123),
+]
+LANGS = ["de", "en", "es", "fr", "zh"]
+
+# ---------------------------------------------------------------- SQL side
+
+TOK = (
+    r"list_filter(string_split_regex(trim(regexp_replace(lower({col}), "
+    r"'[^a-zA-Z0-9\s]', ' ', 'g')), '\s+'), t -> t <> '')"
+)
+
+_QUERY_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in QUERIES)
+_POSITIVE_VALUES = ", ".join(f"('{q}', {d})" for q, d in POSITIVES)
+
+_TOKENS_CTE = f"""
+  docs AS (SELECT doc_id, lang, {TOK.format(col='text')} AS toks FROM documents),
+  tok AS (SELECT doc_id, lang, len(toks) AS dl, unnest(toks) AS term FROM docs),
+  tf AS (SELECT doc_id, lang, term, any_value(dl) AS dl, count(*) AS tf
+         FROM tok GROUP BY doc_id, lang, term)
+"""
+
+_BM25_CORE = f"""
+  coll AS (SELECT count(*) AS n_docs,
+                  CAST(sum(len(toks)) AS DOUBLE)/count(*) AS avgdl FROM docs),
+  stats AS (SELECT term, count(*) AS df,
+                   ln(1 + (( (SELECT n_docs FROM coll) - count(*) + 0.5)
+                           / (count(*) + 0.5))) AS idf
+            FROM tf GROUP BY term),
+  qterms AS (SELECT query_id, unnest(list_distinct({TOK.format(col='qtext')})) AS term
+             FROM (VALUES {_QUERY_VALUES}) q(query_id, qtext)),
+  cand AS (SELECT qt.query_id, tf.doc_id,
+                  s.idf * tf.tf * ({{k1}} + 1.0)
+                  / (tf.tf + {{k1}} * (1.0 - {{b}} + {{lnorm}} * tf.dl
+                                       / (SELECT avgdl FROM coll))) AS term_score
+           FROM tf JOIN qterms qt USING (term) JOIN stats s USING (term)),
+  scored AS (SELECT query_id, doc_id, round(sum(term_score), 6) AS score
+             FROM cand GROUP BY query_id, doc_id),
+  ranked AS (SELECT query_id, doc_id, score,
+                    CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+             FROM scored)
+"""
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+def _bm25_sql(k1: float, b: float, standard: bool) -> str:
+    lnorm = str(b) if standard else "1.0"
+    core = _BM25_CORE.replace("{k1}", repr(k1)).replace("{b}", repr(b)).replace(
+        "{lnorm}", lnorm
+    )
+    return f"""
+WITH {_TOKENS_CTE}, {core}
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+"""
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_SHINGLE_CTE = f"""
+  docs AS (SELECT doc_id, {TOK.format(col='text')} AS toks FROM documents),
+  sh AS (SELECT DISTINCT doc_id, shingle FROM (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]))
+                  AS shingle
+           FROM docs WHERE len(toks) >= 3)),
+  sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+"""
+
+_JACCARD_CTE = """
+  common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+             FROM sh a JOIN sh b USING (shingle)
+             WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+  jac AS (SELECT doc_a, doc_b,
+                 round(CAST(common AS DOUBLE)
+                       / (sa.sz + sb.sz - common), 6) AS jaccard
+          FROM common JOIN sizes sa ON sa.doc_id = doc_a
+                      JOIN sizes sb ON sb.doc_id = doc_b)
+"""
+
+_MINHASH_CTE = f"""
+  dict AS (SELECT shingle, row_number() OVER (ORDER BY shingle) AS sid
+           FROM (SELECT DISTINCT shingle FROM sh)),
+  hp AS (SELECT CAST(r AS INT) AS r, 1000003*(r+1)+12345 AS a,
+                7919*(r+1)+104729 AS b FROM range({N_HASHES}) t(r)),
+  sig AS (SELECT s.doc_id, hp.r,
+                 min((hp.a * d.sid + hp.b) % {MERSENNE61}) AS minh
+          FROM sh s JOIN dict d USING (shingle), hp GROUP BY 1, 2),
+  bands AS (SELECT doc_id, CAST(r // {ROWS_PER_BAND} AS INT) AS band,
+                   string_agg(CAST(minh AS VARCHAR), ',' ORDER BY r) AS band_key
+            FROM sig GROUP BY 1, 2),
+  cand AS (SELECT DISTINCT l.doc_id AS doc_a, r2.doc_id AS doc_b
+           FROM bands l JOIN bands r2 USING (band, band_key)
+           WHERE l.doc_id < r2.doc_id)
+"""
+
+_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_NORM = (
+    "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+_ANN_BASE = f"""
+  v AS (SELECT vec_id, embedding, {_NORM.format(a='embedding')} AS nrm FROM embeddings),
+  p AS (SELECT vec_id AS probe_id, embedding AS p_emb, nrm AS p_nrm FROM v WHERE vec_id < 3),
+  sims AS (SELECT p.probe_id, v.vec_id,
+                  round({_DOT.format(a='v.embedding', b='p.p_emb')}
+                        / (v.nrm * p.p_nrm), 6) AS cos
+           FROM v, p WHERE v.vec_id <> p.probe_id)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sw = "('a','an','and','are','as','at','be','by','for','from','has','he'," \
+         "'in','is','it','its','of','on','that','the','to','was','were','will','with')"
+    return {
+        "doc_lengths": f"""
+WITH docs AS (SELECT doc_id, {TOK.format(col='text')} AS toks FROM documents)
+SELECT doc_id, CAST(len(toks) AS INT) AS dl FROM docs
+""",
+        "collection_stats": f"""
+WITH docs AS (SELECT doc_id, lang, {TOK.format(col='text')} AS toks FROM documents)
+SELECT lang, count(*) AS n_docs,
+       round(CAST(sum(len(toks)) AS DOUBLE)/count(*), 6) AS avgdl
+FROM docs GROUP BY lang
+""",
+        "term_stats": f"""
+WITH {_TOKENS_CTE},
+coll AS (SELECT count(*) AS n_docs FROM docs)
+SELECT term, count(*) AS df,
+       round(ln(1 + (((SELECT n_docs FROM coll) - count(*) + 0.5)
+                     / (count(*) + 0.5))), 6) AS idf
+FROM tf GROUP BY term
+""",
+        "bm25_topk": _bm25_sql(K1, B, standard=False),
+        "bm25_topk_standard": _bm25_sql(K1, B, standard=True),
+        "bm25_per_lang_topk": f"""
+WITH {_TOKENS_CTE},
+coll AS (SELECT lang, count(*) AS n_docs,
+                CAST(sum(len(toks)) AS DOUBLE)/count(*) AS avgdl
+         FROM docs GROUP BY lang),
+stats AS (SELECT lang, term, count(*) AS df FROM tf GROUP BY lang, term),
+stats2 AS (SELECT s.lang, s.term, s.df,
+                  ln(1 + ((c.n_docs - s.df + 0.5) / (s.df + 0.5))) AS idf,
+                  c.avgdl
+           FROM stats s JOIN coll c USING (lang)),
+qterms AS (SELECT query_id, lang,
+                  unnest(list_distinct({TOK.format(col='qtext')})) AS term
+           FROM (SELECT q.query_id || '_' || l.lang AS query_id, q.qtext, l.lang
+                 FROM (VALUES {_QUERY_VALUES}) q(query_id, qtext),
+                      (VALUES {", ".join(f"('{lg}')" for lg in LANGS)}) l(lang))),
+cand AS (SELECT qt.query_id, tf.doc_id,
+                s.idf * tf.tf * ({K1} + 1.0)
+                / (tf.tf + {K1} * (1.0 - {B} + tf.dl / s.avgdl)) AS term_score
+         FROM tf JOIN qterms qt ON tf.term = qt.term AND tf.lang = qt.lang
+                 JOIN stats2 s ON s.term = tf.term AND s.lang = tf.lang),
+scored AS (SELECT query_id, doc_id, round(sum(term_score), 6) AS score
+           FROM cand GROUP BY query_id, doc_id)
+SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, doc_id ASC) AS INT) AS rank, doc_id, score
+FROM scored QUALIFY rank <= 5
+""",
+        "cosine_topk": f"""
+WITH {_TOKENS_CTE},
+coll AS (SELECT count(*) AS n_docs FROM docs),
+stats AS (SELECT term, count(*) AS df,
+                 ln(1 + (((SELECT n_docs FROM coll) - count(*) + 0.5)
+                         / (count(*) + 0.5))) AS idf
+          FROM tf GROUP BY term),
+dw AS (SELECT doc_id, term, tf.tf * s.idf AS w
+       FROM tf JOIN stats s USING (term)),
+dn AS (SELECT doc_id, sqrt(sum(w*w)) AS doc_norm FROM dw GROUP BY doc_id),
+qterms AS (SELECT query_id, unnest(list_distinct({TOK.format(col='qtext')})) AS term
+           FROM (VALUES {_QUERY_VALUES}) q(query_id, qtext)),
+qw AS (SELECT query_id, term, s.idf AS qw
+       FROM qterms JOIN stats s USING (term)),
+qn AS (SELECT query_id, sqrt(sum(qw*qw)) AS q_norm FROM qw GROUP BY query_id),
+dots AS (SELECT qw.query_id, dw.doc_id, sum(dw.w * qw.qw) AS dot
+         FROM dw JOIN qw USING (term) GROUP BY 1, 2),
+sims AS (SELECT d.query_id, d.doc_id,
+                round(d.dot / (dn.doc_norm * qn.q_norm), 6) AS score
+         FROM dots d JOIN dn USING (doc_id) JOIN qn USING (query_id))
+SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, doc_id ASC) AS INT) AS rank, doc_id, score
+FROM sims QUALIFY rank <= 10
+""",
+        "bm25_submission": f"""
+WITH {_TOKENS_CTE}, {_BM25_CORE.replace('{k1}', repr(K1)).replace('{b}', repr(B)).replace('{lnorm}', '1.0')}
+SELECT query_id AS id,
+       '[' || string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rank) || ']' AS docids
+FROM ranked WHERE rank <= 10 GROUP BY query_id
+""",
+        "retrieval_metrics": f"""
+WITH {_TOKENS_CTE}, {_BM25_CORE.replace('{k1}', repr(K1)).replace('{b}', repr(B)).replace('{lnorm}', '1.0')},
+truth AS (SELECT * FROM (VALUES {_POSITIVE_VALUES}) t(query_id, positive_doc)),
+perq AS (SELECT t.query_id,
+                max(CASE WHEN r.rank <= 1 AND r.doc_id = t.positive_doc THEN 1 ELSE 0 END) AS hit1,
+                max(CASE WHEN r.rank <= 5 AND r.doc_id = t.positive_doc THEN 1 ELSE 0 END) AS hit5,
+                max(CASE WHEN r.rank <= 10 AND r.doc_id = t.positive_doc THEN 1 ELSE 0 END) AS hit10,
+                coalesce(max(CASE WHEN r.doc_id = t.positive_doc AND r.rank <= 10
+                                  THEN 1.0 / r.rank END), 0.0) AS rr
+         FROM truth t LEFT JOIN ranked r ON r.query_id = t.query_id AND r.rank <= 10
+         GROUP BY t.query_id)
+SELECT round(avg(hit1), 6) AS recall_1, round(avg(hit5), 6) AS recall_5,
+       round(avg(hit10), 6) AS recall_10, round(avg(rr), 6) AS mrr_10
+FROM perq
+""",
+        "dedup_exact": """
+SELECT min(doc_id) AS doc_id, count(*) AS n_dupes
+FROM documents GROUP BY md5(text)
+""",
+        "dedup_jaccard_pairs": f"""
+WITH {_SHINGLE_CTE}, {_JACCARD_CTE}
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.2
+""",
+        "dedup_minhash_lsh": f"""
+WITH {_SHINGLE_CTE}, {_MINHASH_CTE}, {_JACCARD_CTE}
+SELECT j.doc_a, j.doc_b, j.jaccard
+FROM jac j JOIN cand c ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+WHERE j.jaccard >= 0.2
+""",
+        "minhash_signatures": f"""
+WITH {_SHINGLE_CTE}, {_MINHASH_CTE}
+SELECT doc_id, r, minh FROM sig
+""",
+        "simhash_signatures": f"""
+WITH docs AS (SELECT doc_id, {TOK.format(col='text')} AS toks FROM documents),
+shtf AS (SELECT doc_id, term AS shingle, count(*) AS tf
+         FROM (SELECT doc_id, unnest(toks) AS term FROM docs) GROUP BY 1, 2),
+dict AS (SELECT shingle, row_number() OVER (ORDER BY shingle) AS sid
+         FROM (SELECT DISTINCT shingle FROM shtf)),
+hv AS (SELECT s.doc_id, s.tf,
+              (({1_000_003 * 98 + 12_345}::BIGINT * d.sid + {7_919 * 98 + 104_729})
+               % {MERSENNE61}) AS h
+       FROM shtf s JOIN dict d USING (shingle)),
+bits AS (SELECT doc_id, CAST(b AS INT) AS bpos,
+                sum(tf * (((h >> CAST(b AS INT)) & 1) * 2 - 1)) AS s
+         FROM hv, range(64) t(b) GROUP BY 1, 2),
+sig AS (SELECT doc_id,
+               string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY bpos)
+               AS simhash
+        FROM bits GROUP BY doc_id)
+SELECT doc_id, simhash FROM sig
+""",
+        "ann_cosine_topk": f"""
+WITH {_ANN_BASE}
+SELECT probe_id, CAST(row_number() OVER (PARTITION BY probe_id
+        ORDER BY cos DESC, vec_id ASC) AS INT) AS rank, vec_id, cos
+FROM sims QUALIFY rank <= 10
+""",
+        "ann_ivf_topk": f"""
+WITH {_ANN_BASE},
+cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb, nrm AS c_nrm
+          FROM v WHERE vec_id < 8),
+vassign AS (SELECT vec_id, centroid_id AS cluster FROM (
+    SELECT v.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+               round({_DOT.format(a='v.embedding', b='c.c_emb')}
+                     / (v.nrm * c.c_nrm), 6) DESC, c.centroid_id ASC) AS cr
+    FROM v, cents c) WHERE cr = 1),
+passign AS (SELECT probe_id, centroid_id AS cluster FROM (
+    SELECT p.probe_id, c.centroid_id,
+           row_number() OVER (PARTITION BY p.probe_id ORDER BY
+               round({_DOT.format(a='p.p_emb', b='c.c_emb')}
+                     / (p.p_nrm * c.c_nrm), 6) DESC, c.centroid_id ASC) AS cr
+    FROM p, cents c) WHERE cr <= 2),
+filtered AS (SELECT s.* FROM sims s
+             JOIN vassign va ON va.vec_id = s.vec_id
+             JOIN passign pa ON pa.probe_id = s.probe_id AND pa.cluster = va.cluster)
+SELECT probe_id, CAST(row_number() OVER (PARTITION BY probe_id
+        ORDER BY cos DESC, vec_id ASC) AS INT) AS rank, vec_id, cos
+FROM filtered QUALIFY rank <= 10
+""",
+        "text_quality": f"""
+WITH t AS (SELECT doc_id, text,
+                  list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              x -> x <> '') AS toks
+           FROM documents)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round(CAST(length(text) - length(translate(text,
+             '!"#$%&''()*+,-./:;<=>?@[\\]^_`{{|}}~', '')) AS DOUBLE)
+             / greatest(length(text), 1), 6) AS punct_ratio,
+       round(CAST(len(list_filter(toks, x -> x IN {sw})) AS DOUBLE)
+             / greatest(len(toks), 1), 6) AS stopword_ratio,
+       round(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
+             / greatest(len(toks), 1), 6) AS avg_token_len
+FROM t
+""",
+        "lang_id": f"""
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+c AS (SELECT doc_id,
+             len(list_filter(toks, x -> x IN ('the','and','of','to','is','in','that','it'))) AS c_en,
+             len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht','ein','zu'))) AS c_de,
+             len(list_filter(toks, x -> x IN ('le','la','les','et','est','une','pas','pour'))) AS c_fr,
+             len(list_filter(toks, x -> x IN ('el','los','las','es','una','por','que','con'))) AS c_es
+      FROM t)
+SELECT doc_id,
+       CASE WHEN greatest(c_en,c_de,c_fr,c_es) = 0 THEN 'und'
+            WHEN c_en = greatest(c_en,c_de,c_fr,c_es) THEN 'en'
+            WHEN c_de = greatest(c_en,c_de,c_fr,c_es) THEN 'de'
+            WHEN c_fr = greatest(c_en,c_de,c_fr,c_es) THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM c
+""",
+        "doc_fingerprint": f"""
+WITH docs AS (SELECT doc_id, {TOK.format(col='text')} AS toks FROM documents)
+SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM docs
+""",
+    }
+
+
+# --------------------------------------------------------------- Spark side
+
+
+def _docs(spark: SparkSession, sf_dir: str):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tok_docs(spark, sf_dir, with_lang=False):
+    from pyspark.sql import functions as F
+
+    from document_retrieval_spark.config import SQL_SAFE_PROFILE
+    from document_retrieval_spark.functions.text import tokenize_expr
+
+    d = _docs(spark, sf_dir)
+    cols = ["doc_id"] + (["lang"] if with_lang else [])
+    return d.select(
+        *cols, tokenize_expr(F.col("text"), SQL_SAFE_PROFILE).alias("toks")
+    )
+
+
+def _query_df(spark):
+    return spark.createDataFrame(QUERIES, ["query_id", "query"])
+
+
+def _q_doc_lengths(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return _tok_docs(spark, sf_dir).select(
+        "doc_id", F.size("toks").cast("int").alias("dl")
+    )
+
+
+def _q_collection_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return (
+        _tok_docs(spark, sf_dir, with_lang=True)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum(F.size("toks")).cast("double") / F.count("*"), 6
+            ).alias("avgdl"),
+        )
+    )
+
+
+def _tf_table(spark, sf_dir, with_lang=False):
+    from pyspark.sql import functions as F
+
+    td = _tok_docs(spark, sf_dir, with_lang=with_lang).withColumn(
+        "dl", F.size("toks")
+    )
+    keys = ["doc_id"] + (["lang"] if with_lang else [])
+    return (
+        td.select(*keys, "dl", F.explode("toks").alias("term"))
+        .groupBy(*keys, "term")
+        .agg(F.first("dl").alias("dl"), F.count("*").alias("tf"))
+    )
+
+
+def _term_stats(spark, sf_dir, rounded=True):
+    from pyspark.sql import functions as F
+
+    tf = _tf_table(spark, sf_dir)
+    n_docs = _tok_docs(spark, sf_dir).count()
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log1p((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    return df.withColumn("idf", F.round(idf, 6) if rounded else idf)
+
+
+def _q_term_stats(spark, sf_dir):
+    return _term_stats(spark, sf_dir, rounded=True)
+
+
+def _bm25_ranked(spark, sf_dir, standard=False):
+    """Full ranking (all rows, rounded scores + rank) — reused by topk,
+    submission and metrics queries."""
+    from pyspark.sql import functions as F
+
+    from document_retrieval_spark.config import SQL_SAFE_PROFILE, BM25Config
+    from document_retrieval_spark.operators.topk import topk_per_group
+    from document_retrieval_spark.query.bm25 import prepare_query_terms
+
+    bm25 = BM25Config(length_norm="standard" if standard else "reference")
+    tf = _tf_table(spark, sf_dir)
+    docs = _tok_docs(spark, sf_dir)
+    agg = docs.agg(
+        F.count("*").alias("n"), F.sum(F.size("toks")).alias("s")
+    ).collect()[0]
+    n_docs, avgdl = agg["n"], float(agg["s"]) / agg["n"]
+    stats = _term_stats(spark, sf_dir, rounded=False)
+    qt = prepare_query_terms(_query_df(spark), SQL_SAFE_PROFILE, bm25)
+    rel = F.col("dl").cast("double") / F.lit(avgdl)
+    if standard:
+        rel = F.lit(bm25.b) * rel
+    term_score = (
+        F.col("idf")
+        * F.col("tf").cast("double")
+        * F.lit(bm25.k1 + 1.0)
+        / (F.col("tf").cast("double") + F.lit(bm25.k1) * (F.lit(1.0 - bm25.b) + rel))
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(stats.select("term", "idf")), "term")
+        .withColumn("term_score", term_score)
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+    )
+    return topk_per_group(scored, ["query_id"], "score", "doc_id", k=10**9)
+
+
+def _q_bm25_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return _bm25_ranked(spark, sf_dir).filter(F.col("rank") <= 10).select(
+        "query_id", "rank", "doc_id", "score"
+    )
+
+
+def _q_bm25_topk_standard(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return _bm25_ranked(spark, sf_dir, standard=True).filter(
+        F.col("rank") <= 10
+    ).select("query_id", "rank", "doc_id", "score")
+
+
+def _q_bm25_per_lang_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from document_retrieval_spark.config import SQL_SAFE_PROFILE, BM25Config
+    from document_retrieval_spark.operators.topk import topk_per_group
+    from document_retrieval_spark.query.bm25 import prepare_query_terms
+
+    bm25 = BM25Config()
+    tf = _tf_table(spark, sf_dir, with_lang=True)
+    docs = _tok_docs(spark, sf_dir, with_lang=True)
+    coll = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.size("toks")).cast("double") / F.count("*")).alias("avgdl"),
+    )
+    stats = (
+        tf.groupBy("lang", "term")
+        .agg(F.count("*").alias("df"))
+        .join(coll, "lang")
+        .withColumn(
+            "idf",
+            F.log1p(
+                (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ),
+        )
+    )
+    langs = spark.createDataFrame([(lg,) for lg in LANGS], ["lang"])
+    q = (
+        _query_df(spark)
+        .crossJoin(langs)
+        .select(
+            F.concat_ws("_", "query_id", "lang").alias("query_id"), "query", "lang"
+        )
+    )
+    qt = prepare_query_terms(q, SQL_SAFE_PROFILE, bm25, lang_col="lang")
+    term_score = (
+        F.col("idf")
+        * F.col("tf").cast("double")
+        * F.lit(bm25.k1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(bm25.k1)
+            * (F.lit(1.0 - bm25.b) + F.col("dl").cast("double") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qt), ["lang", "term"])
+        .join(stats.select("lang", "term", "idf", "avgdl"), ["lang", "term"])
+        .withColumn("term_score", term_score)
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+    )
+    return topk_per_group(scored, ["query_id"], "score", "doc_id", k=5).select(
+        "query_id", "rank", "doc_id", "score"
+    )
+
+
+def _q_cosine_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from document_retrieval_spark.config import SQL_SAFE_PROFILE, BM25Config
+    from document_retrieval_spark.operators.topk import topk_per_group
+    from document_retrieval_spark.query.bm25 import prepare_query_terms
+
+    tf = _tf_table(spark, sf_dir)
+    stats = _term_stats(spark, sf_dir, rounded=False)
+    qt = prepare_query_terms(_query_df(spark), SQL_SAFE_PROFILE, BM25Config())
+    dw = tf.join(stats.select("term", "idf"), "term").withColumn(
+        "w", F.col("tf").cast("double") * F.col("idf")
+    )
+    dn = dw.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("dnorm"))
+    qw = qt.join(F.broadcast(stats.select("term", "idf")), "term").withColumn(
+        "qw", F.col("idf")
+    )
+    qn = qw.groupBy("query_id").agg(
+        F.sqrt(F.sum(F.col("qw") * F.col("qw"))).alias("qnorm")
+    )
+    dots = (
+        dw.join(F.broadcast(qw.select("query_id", "term", "qw")), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+    )
+    sims = (
+        dots.join(dn, "doc_id")
+        .join(F.broadcast(qn), "query_id")
+        .withColumn("score", F.round(F.col("dot") / (F.col("dnorm") * F.col("qnorm")), 6))
+    )
+    return topk_per_group(sims, ["query_id"], "score", "doc_id", 10).select(
+        "query_id", "rank", "doc_id", "score"
+    )
+
+
+def _q_bm25_submission(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ranked = _bm25_ranked(spark, sf_dir).filter(F.col("rank") <= 10)
+    return (
+        ranked.groupBy("query_id")
+        .agg(
+            F.concat(
+                F.lit("["),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("rank", "doc_id"))),
+                        lambda s: s["doc_id"].cast("string"),
+                    ),
+                    ",",
+                ),
+                F.lit("]"),
+            ).alias("docids")
+        )
+        .withColumnRenamed("query_id", "id")
+    )
+
+
+def _q_retrieval_metrics(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ranked = _bm25_ranked(spark, sf_dir).filter(F.col("rank") <= 10)
+    truth = spark.createDataFrame(POSITIVES, ["query_id", "positive_doc"])
+    j = truth.join(ranked, "query_id", "left")
+    perq = j.groupBy("query_id").agg(
+        F.max(
+            F.when((F.col("rank") <= 1) & (F.col("doc_id") == F.col("positive_doc")), 1).otherwise(0)
+        ).alias("hit1"),
+        F.max(
+            F.when((F.col("rank") <= 5) & (F.col("doc_id") == F.col("positive_doc")), 1).otherwise(0)
+        ).alias("hit5"),
+        F.max(
+            F.when((F.col("rank") <= 10) & (F.col("doc_id") == F.col("positive_doc")), 1).otherwise(0)
+        ).alias("hit10"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    (F.col("doc_id") == F.col("positive_doc")) & (F.col("rank") <= 10),
+                    1.0 / F.col("rank"),
+                )
+            ),
+            F.lit(0.0),
+        ).alias("rr"),
+    )
+    return perq.agg(
+        F.round(F.avg("hit1"), 6).alias("recall_1"),
+        F.round(F.avg("hit5"), 6).alias("recall_5"),
+        F.round(F.avg("hit10"), 6).alias("recall_10"),
+        F.round(F.avg("rr"), 6).alias("mrr_10"),
+    )
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from document_retrieval_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _shingle_docs(spark, sf_dir):
+    from document_retrieval_spark.operators.dedup import shingles
+
+    return shingles(_docs(spark, sf_dir), k=3)
+
+
+def _q_dedup_jaccard(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from document_retrieval_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_shingle_docs(spark, sf_dir)).filter(
+        F.col("jaccard") >= 0.2
+    )
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from document_retrieval_spark.operators.dedup import minhash_near_dupes
+
+    return minhash_near_dupes(
+        _docs(spark, sf_dir), k=3, n_hashes=N_HASHES,
+        rows_per_band=ROWS_PER_BAND, threshold=0.2,
+    ).filter(F.col("jaccard") >= 0.2)
+
+
+def _q_minhash_signatures(spark, sf_dir):
+    from document_retrieval_spark.operators.dedup import (
+        minhash_signatures,
+        shingle_dictionary,
+    )
+
+    sh = _shingle_docs(spark, sf_dir)
+    return minhash_signatures(sh, shingle_dictionary(sh), n_hashes=N_HASHES)
+
+
+def _q_simhash(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from document_retrieval_spark.operators.dedup import (
+        shingle_dictionary,
+        simhash_signatures,
+    )
+
+    toks = _tok_docs(spark, sf_dir)
+    sh_tf = (
+        toks.select("doc_id", F.explode("toks").alias("shingle"))
+        .groupBy("doc_id", "shingle")
+        .agg(F.count("*").alias("tf"))
+    )
+    d = shingle_dictionary(sh_tf.select("shingle").distinct())
+    return simhash_signatures(sh_tf, d, bits=64)
+
+
+def _q_ann_cosine(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from document_retrieval_spark.operators.similarity import brute_force_cosine_topk
+
+    v = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    probes = v.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return brute_force_cosine_topk(v, probes, k=10)
+
+
+def _q_ann_ivf(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from document_retrieval_spark.operators.similarity import ivf_cosine_topk
+
+    v = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    probes = v.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    return ivf_cosine_topk(v, probes, n_centroids=8, n_probe=2, k=10)
+
+
+def _q_text_quality(spark, sf_dir):
+    from document_retrieval_spark.functions.analysis import add_quality_columns
+
+    return add_quality_columns(_docs(spark, sf_dir)).select(
+        "doc_id", "n_chars", "n_tokens", "punct_ratio", "stopword_ratio",
+        "avg_token_len",
+    )
+
+
+def _q_lang_id(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from document_retrieval_spark.functions.analysis import lang_id_expr
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", lang_id_expr(F.col("text")).alias("lang_pred")
+    )
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return _tok_docs(spark, sf_dir).select(
+        "doc_id", F.md5(F.array_join("toks", " ")).alias("fp")
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "doc_lengths": _q_doc_lengths,
+        "collection_stats": _q_collection_stats,
+        "term_stats": _q_term_stats,
+        "bm25_topk": _q_bm25_topk,
+        "bm25_topk_standard": _q_bm25_topk_standard,
+        "bm25_per_lang_topk": _q_bm25_per_lang_topk,
+        "cosine_topk": _q_cosine_topk,
+        "bm25_submission": _q_bm25_submission,
+        "retrieval_metrics": _q_retrieval_metrics,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_jaccard_pairs": _q_dedup_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "minhash_signatures": _q_minhash_signatures,
+        "simhash_signatures": _q_simhash,
+        "ann_cosine_topk": _q_ann_cosine,
+        "ann_ivf_topk": _q_ann_ivf,
+        "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: full engine path on sf0.001 — tokenize, doc ordinals,
+    salted posting build with delta+varbyte blocks, block-max WAND top-10."""
+    from pyspark.sql import functions as F
+
+    from document_retrieval_spark.config import (
+        SQL_SAFE_PROFILE,
+        BM25Config,
+        IndexConfig,
+    )
+    from document_retrieval_spark.operators.postings import (
+        assign_doc_ordinals,
+        build_postings,
+    )
+    from document_retrieval_spark.operators.stats import (
+        build_term_stats,
+        collection_stats,
+        term_frequencies,
+        tokenize_documents,
+    )
+    from document_retrieval_spark.query import prepare_query_terms
+    from document_retrieval_spark.query.wand import wand_topk
+
+    sf_dir = "/root/testdata/sf0.001"
+    bm25 = BM25Config()
+    docs = tokenize_documents(
+        _docs(spark, sf_dir).selectExpr("cast(doc_id as string) docid", "text"),
+        SQL_SAFE_PROFILE,
+    )
+    docs_ord = assign_doc_ordinals(docs.select("docid", "dl")).cache()
+    tf = term_frequencies(docs)
+    coll = collection_stats(docs)
+    stats = build_term_stats(tf, coll)
+    postings = build_postings(
+        tf.join(docs_ord, "docid"), stats, IndexConfig(n_shards=8), bm25
+    )
+    qt = prepare_query_terms(_query_df(spark), SQL_SAFE_PROFILE, bm25)
+    return wand_topk(qt, postings, docs_ord, coll, bm25, k=10).withColumn(
+        "score", F.round("score", 6)
+    )

@@ -76,10 +76,13 @@ def lang_id_expr(col: Column) -> Column:
     `team_run1.py:49-56`; we use a deterministic, SQL-expressible stand-in):
     argmax of per-language marker hits, ties and zero-hits -> 'und'."""
     toks = ws_tokens(col)
-    counts = {
-        lang: F.size(F.filter(toks, lambda t, m=markers: t.isin(list(m))))
-        for lang, markers in LANG_MARKERS.items()
-    }
+
+    def _counter(markers):
+        # single-param lambda: a 2-arg lambda would be treated as the
+        # (element, index) higher-order-function form by F.filter
+        return F.size(F.filter(toks, lambda t: t.isin(list(markers))))
+
+    counts = {lang: _counter(m) for lang, m in LANG_MARKERS.items()}
     best = F.greatest(*counts.values())
     expr = F.lit("und")
     # deterministic priority order on ties: en < de < fr < es wins by listing

@@ -61,15 +61,38 @@ SEGMENT_SCHEMA_FIELDS = """
 def assign_doc_ordinals(docs: DataFrame, n_parts: int | None = None) -> DataFrame:
     """docs(docid, ...) -> + doc_ord (dense 0..N-1, ascending by docid).
 
-    Range-partition by docid, sort within partitions, zipWithIndex — fully
-    distributed dense-id assignment (the J4 positional-index mapping of the
-    reference, `bm25_ranking.ipynb cell 6:19-20`, without driver-side arrays).
+    Fully distributed dense-id assignment, JVM-only (no zipWithIndex: the RDD
+    path would pickle every row through Python). Classic two-pass offsets:
+
+    1. range-partition by docid (P ranges), cache;
+    2. local rank within each range partition (window keyed by partition id —
+       groups are the range partitions themselves, so no single hot reducer);
+    3. tiny per-partition counts -> cumulative offsets, broadcast-joined back.
+
+    Replaces the reference's positional index<->docid mapping
+    (`bm25_ranking.ipynb cell 6:19-20`) without driver-side arrays.
     """
+    from pyspark.sql import Window
+
     n_parts = n_parts or docs.sparkSession.sparkContext.defaultParallelism
-    ordered = docs.repartitionByRange(n_parts, "docid").sortWithinPartitions("docid")
-    schema = ordered.schema.add("doc_ord", T.LongType(), False)
-    rdd = ordered.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
-    return docs.sparkSession.createDataFrame(rdd, schema)
+    ranged = (
+        docs.repartitionByRange(n_parts, "docid")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    w_local = Window.partitionBy("_pid").orderBy("docid")
+    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+    ).select("_pid", "_off")
+    out = (
+        ranged.withColumn("_local", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn("doc_ord", (F.col("_off") + F.col("_local") - 1).cast("long"))
+        .drop("_pid", "_local", "_off")
+    )
+    return out
 
 
 def quotient_expr(bm25: BM25Config):
@@ -84,8 +107,10 @@ def quotient_expr(bm25: BM25Config):
 def _encode_udf(block_size: int, seg_postings: int):
     """Arrow pandas UDF: per-term sorted postings arrays -> encoded segments.
 
-    Input row: (term, shard, df, idf, postings: array<struct<doc_ord,tf,dl,q>>)
-    Output: one row per SEGMENT with encoded blocks (exploded by caller).
+    Takes FOUR primitive array columns (doc_ords, tfs, dls, qs) rather than
+    one array<struct>: Arrow hands primitive lists to pandas as numpy arrays,
+    so the codec runs fully vectorized — array<struct> would arrive as python
+    dicts per element (measured ~2x slower end-to-end).
     """
     out_schema = T.ArrayType(
         T.StructType(
@@ -102,13 +127,14 @@ def _encode_udf(block_size: int, seg_postings: int):
     )
 
     @F.pandas_udf(out_schema)
-    def encode(postings: pd.Series) -> pd.Series:
-        def one(plist):
-            # plist: numpy array of dicts? Arrow gives list of dicts; convert
-            ords = np.fromiter((p["doc_ord"] for p in plist), dtype=np.int64)
-            tfs = np.fromiter((p["tf"] for p in plist), dtype=np.int64)
-            dls = np.fromiter((p["dl"] for p in plist), dtype=np.int64)
-            qs = np.fromiter((p["q"] for p in plist), dtype=np.float64)
+    def encode(
+        doc_ords: pd.Series, tf_arr: pd.Series, dl_arr: pd.Series, q_arr: pd.Series
+    ) -> pd.Series:
+        def one(ords, tfs, dls, qs):
+            ords = np.asarray(ords, dtype=np.int64)
+            tfs = np.asarray(tfs, dtype=np.int64)
+            dls = np.asarray(dls, dtype=np.int64)
+            qs = np.asarray(qs, dtype=np.float64)
             n = ords.size
             n_segs = max(1, -(-n // seg_postings))
             segs = []
@@ -142,7 +168,10 @@ def _encode_udf(block_size: int, seg_postings: int):
                 )
             return segs
 
-        return postings.map(one)
+        return pd.Series(
+            [one(o, t, d, q) for o, t, d, q in
+             zip(doc_ords, tf_arr, dl_arr, q_arr)]
+        )
 
     return encode
 
@@ -194,9 +223,19 @@ def build_postings(
     )
     shard = F.pmod(F.xxhash64("term"), F.lit(idx_cfg.n_shards)).cast("int")
     encode = _encode_udf(idx_cfg.block_size, seg_postings)
+    # split the sorted struct array into primitive arrays JVM-side: Arrow
+    # moves them to Python as numpy, keeping the codec vectorized
     enc = (
         merged.withColumn("shard", shard)
-        .withColumn("segs", encode(F.col("postings")))
+        .withColumn(
+            "segs",
+            encode(
+                F.transform("postings", lambda s: s["doc_ord"]),
+                F.transform("postings", lambda s: s["tf"]),
+                F.transform("postings", lambda s: s["dl"]),
+                F.transform("postings", lambda s: s["q"]),
+            ),
+        )
         .drop("postings")
     )
     seg = enc.select(

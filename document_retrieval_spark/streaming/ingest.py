@@ -1,0 +1,70 @@
+"""Structured-streaming ingest of transcript turns.
+
+The reference is batch-only; transcripts at 10^12-turn scale arrive
+continuously, so the engine exposes the incremental half of the index build
+as streaming queries:
+
+- streaming_turn_counts: watermarked per-window turn/token counts (ingest
+  monitoring; late turns tolerated up to the watermark)
+- incremental_term_stats: per-micro-batch (term, tf, df) deltas appended to a
+  stats-delta table via foreachBatch — the merge into the main index runs as
+  the periodic batch job (index/build.py), the classic lambda shape: stream
+  keeps deltas small, batch keeps the index optimal.
+
+Tested with the file source + an in-memory sink driven synchronously
+(processAllAvailable) — the same plan runs on a Kafka source unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import TokenizerConfig
+from ..functions.text import tokenize_expr
+
+
+def streaming_turn_counts(
+    stream: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """turns stream -> windowed (window, role, n_turns, n_tokens)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "role")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("n_tokens"),
+        )
+    )
+
+
+def incremental_term_stats(
+    stream: DataFrame,
+    cfg: TokenizerConfig,
+    out_path: str,
+    checkpoint: str,
+):
+    """Append per-batch (term, tf_delta, df_delta, batch_id) to a delta table.
+    Returns the StreamingQuery (caller stops it)."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        toks = batch_df.select(
+            F.concat_ws("_", "conv_id", "turn_idx").alias("turn_key"),
+            F.explode(tokenize_expr(F.col("text"), cfg)).alias("term"),
+        )
+        delta = (
+            toks.groupBy("term")
+            .agg(
+                F.count("*").alias("tf_delta"),
+                F.countDistinct("turn_key").alias("df_delta"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        delta.write.mode("append").parquet(out_path)
+
+    return (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
