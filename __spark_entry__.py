@@ -248,6 +248,70 @@ SELECT round(avg(hit1), 6) AS recall_1, round(avg(hit5), 6) AS recall_5,
        round(avg(hit10), 6) AS recall_10, round(avg(rr), 6) AS mrr_10
 FROM perq
 """,
+        "rerank_cosine_bm25": f"""
+WITH {_TOKENS_CTE},
+coll AS (SELECT count(*) AS n_docs,
+                CAST(sum(len(toks)) AS DOUBLE)/count(*) AS avgdl FROM docs),
+stats AS (SELECT term, count(*) AS df,
+                 ln(1 + (((SELECT n_docs FROM coll) - count(*) + 0.5)
+                         / (count(*) + 0.5))) AS idf
+          FROM tf GROUP BY term),
+qterms AS (SELECT query_id, unnest(list_distinct({TOK.format(col='qtext')})) AS term
+           FROM (VALUES {_QUERY_VALUES}) q(query_id, qtext)),
+dw AS (SELECT doc_id, term, tf.tf * s.idf AS w FROM tf JOIN stats s USING (term)),
+dn AS (SELECT doc_id, sqrt(sum(w*w)) AS doc_norm FROM dw GROUP BY doc_id),
+qw AS (SELECT query_id, term, s.idf AS qw FROM qterms JOIN stats s USING (term)),
+qn AS (SELECT query_id, sqrt(sum(qw*qw)) AS q_norm FROM qw GROUP BY query_id),
+dots AS (SELECT qw.query_id, dw.doc_id, sum(dw.w * qw.qw) AS dot
+         FROM dw JOIN qw USING (term) GROUP BY 1, 2),
+csims AS (SELECT d.query_id, d.doc_id,
+                 round(d.dot / (dn.doc_norm * qn.q_norm), 6) AS cscore
+          FROM dots d JOIN dn USING (doc_id) JOIN qn USING (query_id)),
+cand AS (SELECT query_id, doc_id FROM (
+           SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                      ORDER BY cscore DESC, doc_id ASC) AS crank
+           FROM csims) WHERE crank <= 50),
+bscore AS (SELECT qt.query_id, tf.doc_id,
+                  s.idf * tf.tf * ({K1} + 1.0)
+                  / (tf.tf + {K1} * (1.0 - {B} + tf.dl
+                                     / (SELECT avgdl FROM coll))) AS term_score
+           FROM tf JOIN qterms qt USING (term) JOIN stats s USING (term)
+           WHERE (qt.query_id, tf.doc_id) IN (SELECT (query_id, doc_id) FROM cand)),
+scored AS (SELECT query_id, doc_id, round(sum(term_score), 6) AS score
+           FROM bscore GROUP BY 1, 2)
+SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, doc_id ASC) AS INT) AS rank, doc_id, score
+FROM scored QUALIFY rank <= 10
+""",
+        "candidate_union": f"""
+WITH {_TOKENS_CTE},
+qterms AS (SELECT query_id, unnest(list_distinct({TOK.format(col='qtext')})) AS term
+           FROM (VALUES {_QUERY_VALUES}) q(query_id, qtext))
+SELECT qt.query_id, count(DISTINCT tf.doc_id) AS n_candidates
+FROM qterms qt JOIN tf USING (term) GROUP BY qt.query_id
+""",
+        "unigram_lm_topk": f"""
+WITH {_TOKENS_CTE},
+qterms AS (SELECT query_id, unnest(list_distinct({TOK.format(col='qtext')})) AS term
+           FROM (VALUES {_QUERY_VALUES}) q(query_id, qtext)),
+qn AS (SELECT q.query_id, count(*) AS n_terms FROM qterms q
+       JOIN (SELECT DISTINCT term FROM tf) v USING (term) GROUP BY 1),
+m AS (SELECT qt.query_id, tf.doc_id, count(*) AS n_matched,
+             sum(ln(CAST(tf.tf AS DOUBLE) / tf.dl)) AS logp
+      FROM qterms qt JOIN tf USING (term) GROUP BY 1, 2),
+full_m AS (SELECT m.query_id, m.doc_id, round(m.logp, 6) AS score
+           FROM m JOIN qn USING (query_id) WHERE m.n_matched = qn.n_terms)
+SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, doc_id ASC) AS INT) AS rank, doc_id, score
+FROM full_m QUALIFY rank <= 10
+""",
+        "vocab_stats": f"""
+WITH {_TOKENS_CTE}
+SELECT lang, count(DISTINCT term) AS n_terms,
+       CAST(sum(tf) AS BIGINT) AS total_tokens
+FROM tf GROUP BY lang
+""",
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id, count(*) AS n_dupes
 FROM documents GROUP BY md5(text)
@@ -638,6 +702,116 @@ def _q_retrieval_metrics(spark, sf_dir):
     )
 
 
+def _q_rerank(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from document_retrieval_spark.config import SQL_SAFE_PROFILE, BM25Config
+    from document_retrieval_spark.operators.topk import topk_per_group
+    from document_retrieval_spark.query.bm25 import prepare_query_terms
+    from document_retrieval_spark.query.cosine import cosine_topk
+
+    bm25 = BM25Config()
+    tf = _tf_table(spark, sf_dir)
+    docs = _tok_docs(spark, sf_dir)
+    agg = docs.agg(F.count("*").alias("n"), F.sum(F.size("toks")).alias("s")).collect()[0]
+    avgdl = float(agg["s"]) / agg["n"]
+    stats = _term_stats(spark, sf_dir, rounded=False)
+    qt = prepare_query_terms(_query_df(spark), SQL_SAFE_PROFILE, bm25)
+    # stage 1: cosine candidates on ROUNDED scores (same rule as the oracle)
+    dw = tf.join(stats.select("term", "idf"), "term").withColumn(
+        "w", F.col("tf").cast("double") * F.col("idf")
+    )
+    dn = dw.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("dnorm"))
+    qw = qt.join(F.broadcast(stats.select("term", "idf")), "term").withColumn("qw", F.col("idf"))
+    qn = qw.groupBy("query_id").agg(F.sqrt(F.sum(F.col("qw") * F.col("qw"))).alias("qnorm"))
+    csims = (
+        dw.join(F.broadcast(qw.select("query_id", "term", "qw")), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+        .join(dn, "doc_id")
+        .join(F.broadcast(qn), "query_id")
+        .withColumn("cscore", F.round(F.col("dot") / (F.col("dnorm") * F.col("qnorm")), 6))
+    )
+    cand = topk_per_group(csims, ["query_id"], "cscore", "doc_id", 50).select(
+        "query_id", "doc_id"
+    )
+    # stage 2: BM25 over candidates only (semi-join prune — SURVEY J8)
+    term_score = (
+        F.col("idf") * F.col("tf").cast("double") * F.lit(bm25.k1 + 1.0)
+        / (F.col("tf").cast("double")
+           + F.lit(bm25.k1) * (F.lit(1.0 - bm25.b) + F.col("dl").cast("double") / F.lit(avgdl)))
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(stats.select("term", "idf")), "term")
+        .join(cand, ["query_id", "doc_id"], "leftsemi")
+        .withColumn("term_score", term_score)
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+    )
+    return topk_per_group(scored, ["query_id"], "score", "doc_id", 10).select(
+        "query_id", "rank", "doc_id", "score"
+    )
+
+
+def _q_candidate_union(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from document_retrieval_spark.config import SQL_SAFE_PROFILE, BM25Config
+    from document_retrieval_spark.query.bm25 import prepare_query_terms
+
+    qt = prepare_query_terms(_query_df(spark), SQL_SAFE_PROFILE, BM25Config())
+    tf = _tf_table(spark, sf_dir)
+    return (
+        tf.join(F.broadcast(qt), "term")
+        .groupBy("query_id")
+        .agg(F.countDistinct("doc_id").alias("n_candidates"))
+    )
+
+
+def _q_unigram_lm(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from document_retrieval_spark.config import SQL_SAFE_PROFILE, BM25Config
+    from document_retrieval_spark.operators.topk import topk_per_group
+    from document_retrieval_spark.query.bm25 import prepare_query_terms
+
+    qt = prepare_query_terms(_query_df(spark), SQL_SAFE_PROFILE, BM25Config())
+    tf = _tf_table(spark, sf_dir)
+    vocab = tf.select("term").distinct()
+    qn = (
+        qt.join(vocab, "term")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_terms"))
+    )
+    m = (
+        tf.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.round(
+                F.sum(F.log(F.col("tf").cast("double") / F.col("dl"))), 6
+            ).alias("score"),
+        )
+    )
+    full = m.join(F.broadcast(qn), "query_id").filter(
+        F.col("n_matched") == F.col("n_terms")
+    )
+    return topk_per_group(full, ["query_id"], "score", "doc_id", 10).select(
+        "query_id", "rank", "doc_id", "score"
+    )
+
+
+def _q_vocab_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    tf = _tf_table(spark, sf_dir, with_lang=True)
+    return tf.groupBy("lang").agg(
+        F.countDistinct("term").alias("n_terms"),
+        F.sum("tf").alias("total_tokens"),
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     from document_retrieval_spark.operators.dedup import exact_dedup
 
@@ -761,6 +935,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "bm25_submission": _q_bm25_submission,
         "retrieval_metrics": _q_retrieval_metrics,
+        "rerank_cosine_bm25": _q_rerank,
+        "candidate_union": _q_candidate_union,
+        "unigram_lm_topk": _q_unigram_lm,
+        "vocab_stats": _q_vocab_stats,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,

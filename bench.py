@@ -141,7 +141,7 @@ def main() -> int:
     # the sandbox host shows up to 3x run-to-run noise on identical work, so
     # each parallelism level is sampled R times alternately and the MIN
     # (least-interference window) is reported ----
-    reps = int(os.environ.get("BENCH_REPS", "2"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     runs_n, runs_4n = [], []
     for _ in range(reps):
         runs_n.append(_probe_subprocess(SCALE_N))

@@ -187,10 +187,16 @@ def build_postings(
     (term, shard, seg_id, n_segs, df, idf, n_postings, first_ord, last_ord,
      max_q, blocks array<BLOCK>).
 
-    Two-stage agg with explicit hot-term salting; the merge stage flattens and
-    re-sorts partial arrays JVM-side (array_sort on struct sorts by doc_ord
-    first), so Python only sees the final per-term array once, in the Arrow
-    encode UDF.
+    ONE raw-posting shuffle, keyed (term, salt) with explicit hot-term
+    salting by DOC-ORDINAL RANGE: salt = doc_ord // seg_postings for terms
+    whose df exceeds the threshold (df pre-pass), 0 otherwise. Range salting
+    beats hash salting here because salted groups are doc-contiguous and
+    disjoint — every group IS a final index segment, so there is no second
+    merge shuffle and no flatten+re-sort of raw postings (the previous
+    two-stage design moved every posting twice and re-sorted hot terms in a
+    single reducer). A hot group's size is bounded by the range width by
+    construction. Per-term segment numbering happens AFTER encode, over the
+    ~3 B/posting compressed rows (cheap window by term).
     """
     hot = term_stats.select(
         "term",
@@ -206,18 +212,13 @@ def build_postings(
         "salt",
         F.when(
             F.col("is_hot"),
-            F.pmod(F.xxhash64("docid"), F.lit(idx_cfg.n_salts)),
+            (F.col("doc_ord") / F.lit(seg_postings)).cast("long"),
         ).otherwise(F.lit(0)),
     )
-    partials = salted.groupBy("term", "salt").agg(
+    groups = salted.groupBy("term", "salt").agg(
         F.sort_array(
             F.collect_list(F.struct("doc_ord", "tf", "dl", "q"))
-        ).alias("plist"),
-        F.first("df").alias("df"),
-        F.first("idf").alias("idf"),
-    )
-    merged = partials.groupBy("term").agg(
-        F.array_sort(F.flatten(F.collect_list("plist"))).alias("postings"),
+        ).alias("postings"),
         F.first("df").alias("df"),
         F.first("idf").alias("idf"),
     )
@@ -226,7 +227,7 @@ def build_postings(
     # split the sorted struct array into primitive arrays JVM-side: Arrow
     # moves them to Python as numpy, keeping the codec vectorized
     enc = (
-        merged.withColumn("shard", shard)
+        groups.withColumn("shard", shard)
         .withColumn(
             "segs",
             encode(
@@ -239,17 +240,10 @@ def build_postings(
         .drop("postings")
     )
     seg = enc.select(
+        "term", "shard", "df", "idf", F.explode("segs").alias("seg")
+    ).select(
         "term",
         "shard",
-        "df",
-        "idf",
-        F.explode("segs").alias("seg"),
-    )
-    return seg.select(
-        "term",
-        "shard",
-        F.col("seg.seg_id").alias("seg_id"),
-        F.col("seg.n_segs").alias("n_segs"),
         "df",
         "idf",
         F.col("seg.n_postings").alias("n_postings"),
@@ -257,6 +251,22 @@ def build_postings(
         F.col("seg.last_ord").alias("last_ord"),
         F.col("seg.max_q").alias("max_q"),
         F.col("seg.blocks").alias("blocks"),
+    )
+    # dense per-term segment ids over the compressed rows (metadata only —
+    # the WAND cursor orders segments by first_ord, not seg_id)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("term").orderBy("first_ord")
+    return (
+        seg.withColumn("seg_id", (F.row_number().over(w) - 1).cast("int"))
+        .withColumn(
+            "n_segs",
+            F.count("*").over(Window.partitionBy("term")).cast("int"),
+        )
+        .select(
+            "term", "shard", "seg_id", "n_segs", "df", "idf", "n_postings",
+            "first_ord", "last_ord", "max_q", "blocks",
+        )
     )
 
 
