@@ -219,6 +219,15 @@ def wand_topk(
 ) -> DataFrame:
     """-> (query_id, rank, docid, score)."""
     avgdl = float(coll.select("avgdl").first()["avgdl"])
+    # Explicit IN-filter on the touched terms BEFORE the join: against a
+    # persisted index this becomes a parquet PushedFilter (only touched
+    # shards/row-groups are read — the "load only that language's model"
+    # routing of `final_implementation.py:320-326`, generalized to terms).
+    # The distinct term list of a query batch is small by construction
+    # (2k queries x <=6 terms); skip the pushdown if it is unexpectedly huge.
+    terms = [r["term"] for r in query_terms.select("term").distinct().collect()]
+    if len(terms) <= 50_000:
+        postings = postings.filter(F.col("term").isin(terms))
     touched = postings.join(F.broadcast(query_terms), "term").select(
         "query_id", "term", "idf", "first_ord", "last_ord", "max_q", "blocks"
     )

@@ -1,1 +1,5 @@
-from .ingest import incremental_term_stats, streaming_turn_counts  # noqa: F401
+from .ingest import (  # noqa: F401
+    incremental_term_stats,
+    streaming_assemble_documents,
+    streaming_turn_counts,
+)

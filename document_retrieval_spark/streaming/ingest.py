@@ -38,6 +38,30 @@ def streaming_turn_counts(
     )
 
 
+def streaming_assemble_documents(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming document assembly: a conversation's turns are sessionized by
+    `session_window(ts, gap)` per conv_id; a document is emitted once the
+    conversation has been idle past the gap (i.e. when the watermark passes
+    the session end). The assembled text preserves stable turn_idx order via
+    the same array_sort(collect_list(struct)) trick as the batch path
+    (operators/assemble.py) — the per-turn text-equality invariant holds for
+    streaming output too."""
+    turns = F.array_sort(F.collect_list(F.struct("turn_idx", "text")))
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("conv_id"))
+        .agg(
+            F.array_join(F.transform(turns, lambda s: s["text"]), " ").alias("text"),
+            F.count("*").alias("n_turns"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select("conv_id", "text", "n_turns", "first_ts", "last_ts")
+    )
+
+
 def incremental_term_stats(
     stream: DataFrame,
     cfg: TokenizerConfig,

@@ -68,3 +68,35 @@ def test_incremental_term_stats_match_batch(spark, stream_dir, transcripts_df,
         .collect()
     }
     assert got == want
+
+
+def test_streaming_assemble_documents(spark, stream_dir, transcripts_pdf):
+    """Sessionized streaming doc assembly reproduces the batch assembly
+    (per-turn text equality through the streaming path)."""
+    from document_retrieval_spark.streaming import streaming_assemble_documents
+
+    stream = spark.readStream.schema(transcripts_schema()).parquet(stream_dir)
+    # conversations in the fixture are 1-12 turns, 1s apart -> gap 1 minute
+    # sessionizes each conversation into exactly one window
+    agg = streaming_assemble_documents(stream, gap="1 minute", watermark="0 seconds")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("docs_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["conv_id"]: (r["text"], r["n_turns"])
+        for r in spark.sql("select * from docs_out").collect()
+    }
+    ordered = transcripts_pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    want = ordered.groupby("conv_id", sort=True).agg(
+        text=("text", " ".join), n=("text", "size")
+    )
+    assert len(got) == len(want)
+    for conv_id, row in want.iterrows():
+        assert got[conv_id] == (row["text"], row["n"]), conv_id
