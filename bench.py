@@ -98,11 +98,11 @@ def _build_and_query(spark, tr_pdf, q_pdf, k=10):
     # tokenize+assemble ONCE, persisted — every downstream stage reuses it
     docs = tokenize_documents(assemble_documents(transcripts), REFERENCE_PROFILE)
     docs = docs.persist()
-    docs_ord = assign_doc_ordinals(docs.select("docid", "dl"))
-    docs_ord.persist().count()
+    # lazy persists — the single postings action below materializes the DAG
+    # once (extra .count() actions each cost a full job of scheduler floor)
+    docs_ord = assign_doc_ordinals(docs.select("docid", "dl")).persist()
     tf = term_frequencies(docs)
-    coll = collection_stats(docs)
-    coll.persist().count()
+    coll = collection_stats(docs).persist()
     stats = build_term_stats(tf, coll)
     postings = build_postings(
         tf.join(docs_ord, "docid"), stats,

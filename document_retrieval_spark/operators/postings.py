@@ -104,84 +104,129 @@ def quotient_expr(bm25: BM25Config):
     return tf * F.lit(bm25.k1 + 1.0) / (tf + F.lit(bm25.k1) * (F.lit(1.0 - bm25.b) + rel))
 
 
-def _encode_udf(block_size: int, seg_postings: int):
-    """Arrow pandas UDF: per-term sorted postings arrays -> encoded segments.
-
-    Takes FOUR primitive array columns (doc_ords, tfs, dls, qs) rather than
-    one array<struct>: Arrow hands primitive lists to pandas as numpy arrays,
-    so the codec runs fully vectorized — array<struct> would arrive as python
-    dicts per element (measured ~2x slower end-to-end).
-    """
-    out_schema = T.ArrayType(
-        T.StructType(
-            [
-                T.StructField("seg_id", T.IntegerType()),
-                T.StructField("n_segs", T.IntegerType()),
-                T.StructField("n_postings", T.IntegerType()),
-                T.StructField("first_ord", T.LongType()),
-                T.StructField("last_ord", T.LongType()),
-                T.StructField("max_q", T.DoubleType()),
-                T.StructField("blocks", T.ArrayType(BLOCK_SCHEMA)),
-            ]
-        )
+def _segment_schema(lang_col: str | None) -> str:
+    lang = f"{lang_col} string, " if lang_col else ""
+    return (
+        f"term string, {lang}shard int, df bigint, idf double, "
+        "n_postings int, first_ord bigint, last_ord bigint, max_q double, "
+        "blocks array<struct<base:bigint,last:bigint,n:int,max_q:double,"
+        "docs:binary,tfs:binary,dls:binary>>"
     )
 
-    @F.pandas_udf(out_schema)
-    def encode(
-        doc_ords: pd.Series, tf_arr: pd.Series, dl_arr: pd.Series, q_arr: pd.Series
-    ) -> pd.Series:
-        def one(ords, tfs, dls, qs):
-            ords = np.asarray(ords, dtype=np.int64)
-            tfs = np.asarray(tfs, dtype=np.int64)
-            dls = np.asarray(dls, dtype=np.int64)
-            qs = np.asarray(qs, dtype=np.float64)
-            n = ords.size
-            n_segs = max(1, -(-n // seg_postings))
-            segs = []
-            for s in range(n_segs):
-                lo, hi = s * seg_postings, min((s + 1) * seg_postings, n)
-                so, st, sd, sq = ords[lo:hi], tfs[lo:hi], dls[lo:hi], qs[lo:hi]
-                blocks = []
-                for b0 in range(0, so.size, block_size):
-                    b1 = min(b0 + block_size, so.size)
-                    blocks.append(
-                        {
-                            "base": int(so[b0]),
-                            "last": int(so[b1 - 1]),
-                            "n": int(b1 - b0),
-                            "max_q": float(sq[b0:b1].max()),
-                            "docs": delta_encode(so[b0:b1]),
-                            "tfs": vb_encode(st[b0:b1]),
-                            "dls": vb_encode(sd[b0:b1]),
-                        }
-                    )
-                segs.append(
-                    {
-                        "seg_id": s,
-                        "n_segs": n_segs,
-                        "n_postings": int(hi - lo),
-                        "first_ord": int(so[0]),
-                        "last_ord": int(so[-1]),
-                        "max_q": float(sq.max()),
-                        "blocks": blocks,
-                    }
-                )
-            return segs
 
-        return pd.Series(
-            [one(o, t, d, q) for o, t, d, q in
-             zip(doc_ords, tf_arr, dl_arr, q_arr)]
+def _encode_group(ords, tfs, dls, qs, block_size, seg_postings):
+    """Encode one sorted (term, salt) group -> list of segment part-dicts
+    (splitting if the group exceeds seg_postings)."""
+    n = ords.size
+    segs = []
+    for s in range(max(1, -(-n // seg_postings))):
+        lo, hi = s * seg_postings, min((s + 1) * seg_postings, n)
+        so, st, sd, sq = ords[lo:hi], tfs[lo:hi], dls[lo:hi], qs[lo:hi]
+        blocks = []
+        for b0 in range(0, so.size, block_size):
+            b1 = min(b0 + block_size, so.size)
+            blocks.append(
+                {
+                    "base": int(so[b0]),
+                    "last": int(so[b1 - 1]),
+                    "n": int(b1 - b0),
+                    "max_q": float(sq[b0:b1].max()),
+                    "docs": delta_encode(so[b0:b1]),
+                    "tfs": vb_encode(st[b0:b1]),
+                    "dls": vb_encode(sd[b0:b1]),
+                }
+            )
+        segs.append(
+            {
+                "n_postings": int(hi - lo),
+                "first_ord": int(so[0]),
+                "last_ord": int(so[-1]),
+                "max_q": float(sq.max()),
+                "blocks": blocks,
+            }
         )
+    return segs
 
-    return encode
+
+def _encode_partitions(block_size: int, seg_postings: int, lang_col: str | None):
+    """mapInPandas encoder over FLAT rows sorted by (term[, lang], salt,
+    doc_ord) within each partition. Groups are contiguous; the trailing
+    (possibly incomplete) group of each Arrow batch is carried into the next
+    batch, and flushed at end-of-partition. All data crosses the Arrow
+    boundary as plain primitive columns — the fast path."""
+    key_cols = ["term"] + ([lang_col] if lang_col else []) + ["salt"]
+    out_cols = (
+        ["term"] + ([lang_col] if lang_col else [])
+        + ["shard", "df", "idf", "n_postings", "first_ord", "last_ord",
+           "max_q", "blocks"]
+    )
+
+    def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        terms = pdf["term"].to_numpy()
+        salts = pdf["salt"].to_numpy()
+        change = np.ones(len(pdf), dtype=bool)
+        change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+        if lang_col:
+            langs = pdf[lang_col].to_numpy()
+            change[1:] |= langs[1:] != langs[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(pdf))
+        ords = pdf["doc_ord"].to_numpy(np.int64)
+        tfs = pdf["tf"].to_numpy(np.int64)
+        dls = pdf["dl"].to_numpy(np.int64)
+        qs = pdf["q"].to_numpy(np.float64)
+        shards = pdf["shard"].to_numpy()
+        dfs = pdf["df"].to_numpy()
+        idfs = pdf["idf"].to_numpy()
+        rows = []
+        for s, e in zip(starts, ends):
+            for part in _encode_group(
+                ords[s:e], tfs[s:e], dls[s:e], qs[s:e], block_size, seg_postings
+            ):
+                row = {
+                    "term": terms[s],
+                    "shard": int(shards[s]),
+                    "df": int(dfs[s]),
+                    "idf": float(idfs[s]),
+                    **part,
+                }
+                if lang_col:
+                    row[lang_col] = langs[s]
+                rows.append(row)
+        return pd.DataFrame(rows, columns=out_cols)
+
+    def fn(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+            if not len(pdf):
+                continue
+            last_key = tuple(pdf.iloc[-1][c] for c in key_cols)
+            # the trailing group is contiguous at the end (sorted input)
+            mask = np.ones(len(pdf), dtype=bool)
+            for c, v in zip(key_cols, last_key):
+                mask &= pdf[c].to_numpy() == v
+            # length of the trailing run of True
+            rev = mask[::-1]
+            n_tail = int(np.argmin(rev)) if not rev.all() else len(pdf)
+            head, carry = pdf.iloc[: len(pdf) - n_tail], pdf.iloc[len(pdf) - n_tail :]
+            if len(head):
+                yield encode_groups(head)
+        if carry is not None and len(carry):
+            yield encode_groups(carry)
+
+    return fn
 
 
 def build_postings(
-    tf_ord: DataFrame,        # (docid, doc_ord, term, tf, dl)
-    term_stats: DataFrame,    # (term, df, idf, n_docs, avgdl)
+    tf_ord: DataFrame,        # (docid, doc_ord, term, tf, dl[, lang])
+    term_stats: DataFrame,    # (term[, lang], df, idf, n_docs, avgdl)
     idx_cfg: IndexConfig,
     bm25: BM25Config,
     seg_postings: int = 128 * 1024,
+    lang_col: str | None = None,
 ) -> DataFrame:
     """-> encoded postings table:
     (term, shard, seg_id, n_segs, df, idf, n_postings, first_ord, last_ord,
@@ -198,14 +243,15 @@ def build_postings(
     construction. Per-term segment numbering happens AFTER encode, over the
     ~3 B/posting compressed rows (cheap window by term).
     """
+    keys = ["term"] + ([lang_col] if lang_col else [])
     hot = term_stats.select(
-        "term",
+        *keys,
         (F.col("df") > idx_cfg.salt_df_threshold).alias("is_hot"),
         "df",
         "idf",
         "avgdl",
     )
-    enriched = tf_ord.join(F.broadcast(hot), "term").withColumn(
+    enriched = tf_ord.join(F.broadcast(hot), keys).withColumn(
         "q", quotient_expr(bm25)
     )
     salted = enriched.withColumn(
@@ -214,58 +260,38 @@ def build_postings(
             F.col("is_hot"),
             (F.col("doc_ord") / F.lit(seg_postings)).cast("long"),
         ).otherwise(F.lit(0)),
+    ).withColumn(
+        "shard", F.pmod(F.xxhash64("term"), F.lit(idx_cfg.n_shards)).cast("int")
     )
-    groups = salted.groupBy("term", "salt").agg(
-        F.sort_array(
-            F.collect_list(F.struct("doc_ord", "tf", "dl", "q"))
-        ).alias("postings"),
-        F.first("df").alias("df"),
-        F.first("idf").alias("idf"),
-    )
-    shard = F.pmod(F.xxhash64("term"), F.lit(idx_cfg.n_shards)).cast("int")
-    encode = _encode_udf(idx_cfg.block_size, seg_postings)
-    # split the sorted struct array into primitive arrays JVM-side: Arrow
-    # moves them to Python as numpy, keeping the codec vectorized
-    enc = (
-        groups.withColumn("shard", shard)
-        .withColumn(
-            "segs",
-            encode(
-                F.transform("postings", lambda s: s["doc_ord"]),
-                F.transform("postings", lambda s: s["tf"]),
-                F.transform("postings", lambda s: s["dl"]),
-                F.transform("postings", lambda s: s["q"]),
-            ),
-        )
-        .drop("postings")
-    )
-    seg = enc.select(
-        "term", "shard", "df", "idf", F.explode("segs").alias("seg")
-    ).select(
-        "term",
-        "shard",
-        "df",
-        "idf",
-        F.col("seg.n_postings").alias("n_postings"),
-        F.col("seg.first_ord").alias("first_ord"),
-        F.col("seg.last_ord").alias("last_ord"),
-        F.col("seg.max_q").alias("max_q"),
-        F.col("seg.blocks").alias("blocks"),
+    # SORT-BASED assembly: shuffle FLAT rows partitioned by (term, salt) and
+    # sorted by doc_ord, then encode groups in mapInPandas with carry-over at
+    # batch boundaries. Flat primitive columns are the Arrow fast path — the
+    # previous collect_list + array<struct> design spent ~16s/129k-turn build
+    # just serializing nested arrays JVM->Python (measured with a no-op UDF);
+    # this path moves the same data as plain columnar batches.
+    lang_flat = [lang_col] if lang_col else []
+    flat_cols = ["term", *lang_flat, "salt", "shard", "df", "idf",
+                 "doc_ord", "tf", "dl", "q"]
+    parted = salted.select(*flat_cols).repartition(*keys, "salt")
+    parted = parted.sortWithinPartitions(*keys, "salt", "doc_ord")
+    seg = parted.mapInPandas(
+        _encode_partitions(idx_cfg.block_size, seg_postings, lang_col),
+        schema=_segment_schema(lang_col),
     )
     # dense per-term segment ids over the compressed rows (metadata only —
     # the WAND cursor orders segments by first_ord, not seg_id)
     from pyspark.sql import Window
 
-    w = Window.partitionBy("term").orderBy("first_ord")
+    w = Window.partitionBy(*keys).orderBy("first_ord")
     return (
         seg.withColumn("seg_id", (F.row_number().over(w) - 1).cast("int"))
         .withColumn(
             "n_segs",
-            F.count("*").over(Window.partitionBy("term")).cast("int"),
+            F.count("*").over(Window.partitionBy(*keys)).cast("int"),
         )
         .select(
-            "term", "shard", "seg_id", "n_segs", "df", "idf", "n_postings",
-            "first_ord", "last_ord", "max_q", "blocks",
+            *keys, "shard", "seg_id", "n_segs", "df", "idf",
+            "n_postings", "first_ord", "last_ord", "max_q", "blocks",
         )
     )
 

@@ -210,15 +210,21 @@ def _wand_one_query(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
 
 
 def wand_topk(
-    query_terms: DataFrame,   # (query_id, term)
+    query_terms: DataFrame,   # (query_id, term[, lang])
     postings: DataFrame,      # encoded segments from build_postings
     doc_map: DataFrame,       # (docid, doc_ord)
-    coll: DataFrame,          # (n_docs, avgdl) — one row (or per lang)
+    coll: DataFrame,          # (n_docs, avgdl) — one row, or per lang
     bm25: BM25Config,
     k: int = 10,
+    lang_col: str | None = None,
 ) -> DataFrame:
-    """-> (query_id, rank, docid, score)."""
-    avgdl = float(coll.select("avgdl").first()["avgdl"])
+    """-> (query_id, rank, docid, score).
+
+    With lang_col set, postings/coll are per-language models and queries are
+    routed to their language (P2/P3 — `final_implementation.py:320-326`);
+    each query's cursors score with that language's avgdl.
+    """
+    join_keys = ["term"] + ([lang_col] if lang_col else [])
     # Explicit IN-filter on the touched terms BEFORE the join: against a
     # persisted index this becomes a parquet PushedFilter (only touched
     # shards/row-groups are read — the "load only that language's model"
@@ -228,12 +234,23 @@ def wand_topk(
     terms = [r["term"] for r in query_terms.select("term").distinct().collect()]
     if len(terms) <= 50_000:
         postings = postings.filter(F.col("term").isin(terms))
-    touched = postings.join(F.broadcast(query_terms), "term").select(
-        "query_id", "term", "idf", "first_ord", "last_ord", "max_q", "blocks"
+    touched = postings.join(F.broadcast(query_terms), join_keys)
+    if lang_col:
+        touched = touched.join(
+            F.broadcast(coll.select(lang_col, "avgdl")), lang_col
+        )
+        avgdl_col = F.col("avgdl")
+    else:
+        avgdl_scalar = float(coll.select("avgdl").first()["avgdl"])
+        avgdl_col = F.lit(avgdl_scalar)
+    touched = touched.select(
+        "query_id", "term", "idf", "first_ord", "last_ord", "max_q", "blocks",
+        avgdl_col.alias("_avgdl"),
     )
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = pdf["query_id"].iloc[0]
+        avgdl = float(pdf["_avgdl"].iloc[0])  # one lang (hence avgdl) per query
         cursors = []
         # sort=True: ascending term order == the oracle's sorted(set(query))
         # summation order — bit-identical per-doc scores

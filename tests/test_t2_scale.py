@@ -104,6 +104,25 @@ def test_t2_multilang_per_language_models(spark):
     for r in res.collect():
         got.setdefault(r["query_id"], []).append((r["rank"], r["docid"], r["score"]))
 
+    # same queries through the per-language COMPRESSED index + WAND
+    docs_ord = assign_doc_ordinals(docs.select("docid", "dl"))
+    postings = build_postings(
+        tf.join(docs_ord.select("docid", "doc_ord", "dl"), "docid"),
+        stats,
+        IndexConfig(n_shards=8, salt_df_threshold=50),
+        BM25,
+        seg_postings=256,
+        lang_col="lang",
+    )
+    wres = wand_topk(qt, postings, docs_ord, coll, BM25, k=10, lang_col="lang")
+    wgot: dict[str, list] = {}
+    for r in wres.collect():
+        wgot.setdefault(r["query_id"], []).append((r["rank"], r["docid"], r["score"]))
+    assert set(wgot) == set(got)
+    for qid in got:
+        for (ga, gb, gs), (wa, wb, ws) in zip(sorted(got[qid]), sorted(wgot[qid])):
+            assert gb == wb and math.isclose(gs, ws, rel_tol=1e-9), qid
+
     # one oracle per language over that language's docs only
     by = tr.sort_values(["conv_id", "turn_idx"], kind="mergesort")
     docs_pdf = by.groupby("conv_id", sort=True).agg(
