@@ -102,10 +102,14 @@ class IndexConfig:
     n_shards: int = 32           # term-shard count for the build shuffle
     n_shard_groups: int = 8      # checkpoint/resume granularity (FIXTURES.md §5)
     block_size: int = 128        # postings per delta+varbyte block (SURVEY §7 M2)
-    # terms whose per-partition partial df exceeds this get salted during the
-    # build shuffle (hot-term skew, successor of the en-shard 20x skew —
-    # `final_implementation.py:228`).
+    # terms whose df exceeds this get salted during the build shuffle by
+    # doc-ordinal RANGE (salt = doc_ord // seg_postings — bounded,
+    # doc-contiguous groups that become index segments directly). Successor
+    # of the reference's hand-tuned en-shard 20x skew workaround
+    # (`final_implementation.py:228`).
     salt_df_threshold: int = 10_000
+    # legacy knob from the hash-salting design; range salting derives the
+    # split from seg_postings instead. Kept for config compatibility.
     n_salts: int = 16
 
 
