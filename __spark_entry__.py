@@ -19,9 +19,17 @@ Exact-parity conventions shared by both sides (see tools/check_parity.py):
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# the engine package lives next to this file — make imports robust to the
+# caller's working directory
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 K1, B = 1.5, 0.75  # BM25Config defaults (`bm25_ranking.ipynb cell 3:3`)
 N_HASHES, ROWS_PER_BAND = 16, 4

@@ -21,6 +21,15 @@ def get_spark(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
+    # executor python workers must be able to import this package even when
+    # the driver was launched from another cwd: export the package root on
+    # PYTHONPATH before the JVM (which spawns the workers) starts
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + pp if pp else "")
+        )
     n_shuffle = shuffle_partitions or cpus
     b = (
         SparkSession.builder.master(master)

@@ -69,3 +69,18 @@ def test_fixture_corpus_tokens_match(spark, transcripts_df, oracle_docs):
     got = {r["docid"]: r["toks"] for r in toks.collect()}
     for docid, text in oracle_docs:
         assert got[docid] == oracle_tokenize(text, REFERENCE_PROFILE), docid
+
+
+def test_negative_docs_json_parse(spark, queries_df):
+    """negative_docs is a JSON-encoded list string (reference parse path
+    `text_preprocessing_and_tfidf.py:267`) -> F.from_json."""
+    from pyspark.sql import functions as F, types as T
+
+    parsed = queries_df.select(
+        "query_id",
+        "positive_docs",
+        F.from_json("negative_docs", T.ArrayType(T.StringType())).alias("negs"),
+    )
+    rows = parsed.collect()
+    assert all(isinstance(r["negs"], list) and 1 <= len(r["negs"]) <= 3 for r in rows)
+    assert all(r["positive_docs"] not in r["negs"] for r in rows)
