@@ -36,6 +36,17 @@ from pyspark.sql import types as T
 from ..config import PUNCT, TokenizerConfig
 
 
+# Java-regex class equal to PYTHON's str.split() whitespace set (the oracle
+# splits with str.split()): Java \s covers ASCII [ \t\n\x0B\f\r]; Python
+# additionally treats the IS1-IS4 separators (U+001C-001F), NEL (U+0085) and
+# the Unicode space separators as whitespace. Without this, text containing
+# NBSP / U+2028 etc. tokenizes differently engine vs oracle.
+PY_WS_SPLIT = (
+    "[\\s\\u001c-\\u001f\\u0085\\u00a0\\u1680"
+    "\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000]+"
+)
+
+
 def squeeze_ws(col: Column) -> Column:
     """F10: collapse repeated spaces (the reference loops .replace 10x)."""
     return F.regexp_replace(col, " +", " ")
@@ -59,7 +70,7 @@ def tokenize_expr(col: Column, cfg: TokenizerConfig) -> Column:
     """text column -> array<string> token column, built-ins only."""
     if cfg.lemmatize or cfg.stem_lang:
         raise ValueError("lemmatize/stem require tokenize_pandas_udf")
-    arr = F.split(F.trim(_normalize_expr(col, cfg)), r"\s+")
+    arr = F.split(F.trim(_normalize_expr(col, cfg)), PY_WS_SPLIT)
     arr = F.filter(arr, lambda t: t != F.lit(""))
     if cfg.stopwords:
         sw = sorted(cfg.stopword_set())

@@ -108,10 +108,26 @@ class IndexBuilder:
 
     # ---------- stages ----------
 
+    def _drop_stale_groups(self):
+        """Remove postings/group=G dirs with G >= n_shard_groups: if the group
+        count was reduced between builds on the same out_dir, the rebuild never
+        overwrites them and load_index's partition discovery would read stale
+        segments into query results."""
+        import shutil
+
+        base = self._path("postings")
+        if not os.path.isdir(base):
+            return
+        live = {f"group={g}" for g in range(self.cfg.index.n_shard_groups)}
+        for d in os.listdir(base):
+            if d.startswith("group=") and d not in live:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+
     def build(self, transcripts: DataFrame) -> dict:
         """Run all stages (skipping completed ones); returns the build report
         with per-stage manifests + skipped flags."""
         report: dict = {"stages": {}, "skipped": []}
+        self._drop_stale_groups()
 
         if not self._complete("docs"):
             t0 = time.time()

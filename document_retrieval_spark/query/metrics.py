@@ -16,8 +16,13 @@ def recall_mrr(
     topk: DataFrame,      # (query_id, rank, docid, ...)
     truth: DataFrame,     # (query_id, positive_docs)
     ks=(1, 5, 10),
+    mrr_k: int = 10,
 ) -> DataFrame:
-    """-> single row (recall@1, recall@5, recall@10, mrr@10)."""
+    """-> single row (recall@1, recall@5, recall@10, mrr@<mrr_k>).
+
+    The reciprocal-rank term is capped at rank <= mrr_k (oracle_metrics and
+    the SQL twin slice to the top-mrr_k rows; without the cap the two diverge
+    whenever the caller retrieves k > mrr_k rows)."""
     hit = topk.join(F.broadcast(truth), "query_id").withColumn(
         "is_pos", (F.col("docid") == F.col("positive_docs")).cast("int")
     )
@@ -29,7 +34,10 @@ def recall_mrr(
             for k in ks
         ],
         F.max(
-            F.when(F.col("is_pos") == 1, 1.0 / F.col("rank")).otherwise(0.0)
+            F.when(
+                (F.col("is_pos") == 1) & (F.col("rank") <= mrr_k),
+                1.0 / F.col("rank"),
+            ).otherwise(0.0)
         ).alias("rr"),
     )
     # queries with no retrieved rows at all count as misses
@@ -37,5 +45,5 @@ def recall_mrr(
     per_q = all_q.join(per_q, "query_id", "left").na.fill(0)
     return per_q.agg(
         *[F.avg(f"hit{k}").alias(f"recall@{k}") for k in ks],
-        F.avg("rr").alias("mrr@10"),
+        F.avg("rr").alias(f"mrr@{mrr_k}"),
     )

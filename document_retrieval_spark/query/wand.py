@@ -125,18 +125,18 @@ class _Cursor:
         """Advance to the first posting with doc_ord >= target."""
         if self.done:
             return
-        # skip whole segments
+        # skip whole segments via metadata only — decode nothing until the
+        # landing block is known (a hot term may span thousands of segments)
+        moved = False
         while self.seg_i < len(self.segs) and self.segs[self.seg_i]["last_ord"] < target:
             self.seg_i += 1
             self.blk_i = 0
-            if self.seg_i < len(self.segs):
-                self._load_block()
+            moved = True
         if self.seg_i >= len(self.segs):
             self.done = True
             return
         # skip blocks via metadata (no decode)
         blocks = self._cur_blocks()
-        moved = False
         while self.blk_i < len(blocks) and blocks[self.blk_i]["last"] < target:
             self.blk_i += 1
             moved = True
@@ -217,23 +217,43 @@ def wand_topk(
     bm25: BM25Config,
     k: int = 10,
     lang_col: str | None = None,
+    terms: list[str] | None = None,
 ) -> DataFrame:
     """-> (query_id, rank, docid, score).
 
     With lang_col set, postings/coll are per-language models and queries are
     routed to their language (P2/P3 — `final_implementation.py:320-326`);
     each query's cursors score with that language's avgdl.
+
+    `terms`: optional pre-known distinct term list of the batch (callers that
+    hold the query set locally — e.g. scripts/query.py reading a CSV — pass
+    it, avoiding any driver-side collect here).
     """
     join_keys = ["term"] + ([lang_col] if lang_col else [])
+    # The WAND kernel requires DISTINCT per-query terms: duplicate
+    # (query_id, term) rows would duplicate a term's segments inside one
+    # cursor and break the sorted-cursor invariant (doc ordinals must be
+    # strictly increasing within a cursor).
+    query_terms = query_terms.dropDuplicates(["query_id", *join_keys])
     # Explicit IN-filter on the touched terms BEFORE the join: against a
     # persisted index this becomes a parquet PushedFilter (only touched
     # shards/row-groups are read — the "load only that language's model"
     # routing of `final_implementation.py:320-326`, generalized to terms).
     # The distinct term list of a query batch is small by construction
-    # (2k queries x <=6 terms); skip the pushdown if it is unexpectedly huge.
-    terms = [r["term"] for r in query_terms.select("term").distinct().collect()]
+    # (2k queries x <=6 terms); the driver collect is bounded by limit().
+    if terms is None:
+        terms = [
+            r["term"]
+            for r in query_terms.select("term").distinct().limit(50_001).collect()
+        ]
     if len(terms) <= 50_000:
-        postings = postings.filter(F.col("term").isin(terms))
+        postings = postings.filter(F.col("term").isin(list(terms)))
+    else:
+        # huge batch: broadcast semi-join prune instead of a 50k-literal IN
+        # (no parquet pushdown, but still reads/joins only touched terms)
+        postings = postings.join(
+            F.broadcast(query_terms.select("term").distinct()), "term", "leftsemi"
+        )
     touched = postings.join(F.broadcast(query_terms), join_keys)
     if lang_col:
         touched = touched.join(

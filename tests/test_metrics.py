@@ -46,3 +46,22 @@ def test_recall_mrr_parity(spark, transcripts_df, queries_df, oracle_index,
     assert math.isclose(got["mrr@10"], want["mrr@10"], abs_tol=1e-9)
     # sanity: the fixture corpus is retrievable — recall@10 should be high
     assert want["recall@10"] > 0.5
+
+
+def test_mrr_capped_at_mrr_k(spark):
+    """A positive first retrieved at rank 15 contributes 0 to mrr@10 even when
+    the caller retrieves k=20 rows (the oracle and SQL twin slice to top-10)."""
+    topk = spark.createDataFrame(
+        [("q1", r, f"d{r}") for r in range(1, 21)]
+        + [("q2", r, f"e{r}") for r in range(1, 21)],
+        ["query_id", "rank", "docid"],
+    )
+    truth = spark.createDataFrame(
+        [("q1", "d15"), ("q2", "e3")], ["query_id", "positive_docs"]
+    )
+    got = recall_mrr(topk, truth, ks=(1, 5, 10)).collect()[0]
+    # q1 hit at 15 -> outside mrr@10 window; q2 hit at 3 -> 1/3
+    assert abs(got["mrr@10"] - (0.0 + 1.0 / 3.0) / 2.0) < 1e-12
+    assert abs(got["recall@10"] - 0.5) < 1e-12  # only q2 within top-10
+    got20 = recall_mrr(topk, truth, ks=(1, 5, 10), mrr_k=20).collect()[0]
+    assert abs(got20["mrr@20"] - (1.0 / 15.0 + 1.0 / 3.0) / 2.0) < 1e-12

@@ -107,3 +107,26 @@ def test_loaded_index_answers_queries(spark, transcripts_df, queries_df, cfg,
         assert len(g) == len(want), row["query_id"]
         for (gd, gs), (wd, ws) in zip(g, want):
             assert math.isclose(gs, ws, rel_tol=1e-6, abs_tol=1e-9)
+
+
+def test_reduced_shard_groups_drop_stale_dirs(spark, transcripts_df, cfg,
+                                              tmp_path_factory):
+    """Shrinking n_shard_groups between builds on the same out_dir must not
+    leave stale postings/group=G (G >= new count) behind: load_index's
+    partition discovery would read duplicate/stale segments."""
+    out = str(tmp_path_factory.mktemp("idx_shrink"))
+    IndexBuilder(spark, cfg, out).build(transcripts_df)  # 4 groups
+    assert os.path.isdir(os.path.join(out, "postings", "group=3"))
+    cfg2 = EngineConfig(
+        tokenizer=cfg.tokenizer, bm25=cfg.bm25,
+        index=IndexConfig(n_shards=8, n_shard_groups=2, salt_df_threshold=10,
+                          n_salts=4, block_size=16),
+    )
+    IndexBuilder(spark, cfg2, out).build(transcripts_df)
+    left = {d for d in os.listdir(os.path.join(out, "postings"))
+            if d.startswith("group=")}
+    assert left == {"group=0", "group=1"}
+    # content identical to a fresh 2-group build
+    out_fresh = str(tmp_path_factory.mktemp("idx_fresh2"))
+    IndexBuilder(spark, cfg2, out_fresh).build(transcripts_df)
+    assert _postings_content(spark, out) == _postings_content(spark, out_fresh)

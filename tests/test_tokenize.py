@@ -23,6 +23,11 @@ CASES = [
     "a.b,c;d:e f_g h-i",
     "unicode café naïve 北京 mixed",
     "numbers 123 45.67 8,900",
+    # non-ASCII whitespace: NBSP, line separator (U+2028), ogham space,
+    # ideographic space, thin space, NEL, file separator (U+001C) — Python's
+    # str.split() treats all of these as whitespace; the engine must too
+    "nbsp\u00a0separated\u2028and\u1680more\u3000kinds\u2009of\x1cspace\x85here",
+    "\u00a0leading\u202fund\u205ftrailing\u2028",
 ]
 
 CONFIGS = [

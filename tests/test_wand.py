@@ -96,3 +96,30 @@ def test_wand_k1_and_k100(built, queries_df):
         assert lst[0][0] == r100[qid][0][0]
     for qid in exh100:
         assert [d for d, _ in r100[qid]] == [d for d, _ in exh100[qid]], qid
+
+
+def test_wand_duplicate_query_terms_are_deduped(built, queries_df):
+    """Duplicate (query_id, term) rows (e.g. unique_query_terms=False or a
+    caller bypassing prepare_query_terms) must not corrupt the sorted-cursor
+    invariant: wand_topk dedupes internally, so results equal the clean run."""
+    docs, docs_ord, tf, coll, stats, postings = built
+    bm25 = BM25Config()
+    qt = prepare_query_terms(queries_df.limit(10), REFERENCE_PROFILE, bm25)
+    dup = qt.union(qt).union(qt)  # every term 3x
+    clean = _collect_topk(wand_topk(qt, postings, docs_ord, coll, bm25, k=K))
+    dirty = _collect_topk(wand_topk(dup, postings, docs_ord, coll, bm25, k=K))
+    assert clean == dirty
+
+
+def test_wand_explicit_term_list_short_circuits_collect(built, queries_df):
+    """Passing the already-local term list must give identical results (and
+    skips the driver-side distinct().collect())."""
+    docs, docs_ord, tf, coll, stats, postings = built
+    bm25 = BM25Config()
+    qt = prepare_query_terms(queries_df.limit(10), REFERENCE_PROFILE, bm25)
+    terms = [r["term"] for r in qt.select("term").distinct().collect()]
+    a = _collect_topk(wand_topk(qt, postings, docs_ord, coll, bm25, k=K))
+    b = _collect_topk(
+        wand_topk(qt, postings, docs_ord, coll, bm25, k=K, terms=terms)
+    )
+    assert a == b
