@@ -74,15 +74,22 @@ def shingles(
     )
 
 
-def shingle_dictionary(sh: DataFrame) -> DataFrame:
-    """-> (shingle, sid) dense ids, deterministic: row_number over sorted
-    distinct shingles (ties impossible). The SQL oracle uses the identical
-    rule, so ids — and therefore every hash downstream — agree exactly."""
-    w = Window.orderBy("shingle")
-    return (
-        sh.select("shingle")
-        .distinct()
-        .withColumn("sid", F.row_number().over(w).cast("bigint"))
+def shingle_dictionary(sh: DataFrame, n_parts: int | None = None) -> DataFrame:
+    """-> (shingle, sid) dense 1-based ids, deterministic: equal to
+    row_number over sorted distinct shingles (ties impossible), computed with
+    the DISTRIBUTED two-pass ordinal pattern (operators/ordinals.py) — all
+    distinct shingles of a 100 TB corpus would previously have flowed through
+    ONE partition via a global ORDER BY window. The SQL oracle uses the plain
+    row_number rule, so ids — and therefore every hash downstream — still
+    agree exactly."""
+    from .ordinals import dense_rank_ordinals
+
+    return dense_rank_ordinals(
+        sh.select("shingle").distinct(),
+        ["shingle"],
+        "sid",
+        n_parts=n_parts,
+        one_based=True,
     )
 
 
@@ -125,20 +132,52 @@ def lsh_bands(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
     )
 
 
-def jaccard_pairs(sh: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
+def jaccard_pairs(
+    sh: DataFrame,
+    candidates: DataFrame | None = None,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
     """Exact Jaccard for doc pairs sharing >=1 shingle (optionally restricted
-    to candidate pairs) -> (doc_a, doc_b, jaccard)."""
+    to candidate pairs) -> (doc_a, doc_b, jaccard).
+
+    With candidates, the restriction is pushed BELOW pair generation:
+    candidate pairs join to doc_a's shingles, then probe doc_b's set on
+    (doc_b, shingle) — intermediate size is sum over candidate pairs of
+    |shingles(doc_a)|, LINEAR in candidates. The shingle-to-shingle self-join
+    (the no-candidates baseline) would create df^2 intermediate rows per hot
+    shingle — a boilerplate shingle shared by 10^6 docs means 10^12 pairs —
+    before any semi-join could prune them.
+
+    max_shingle_df (scale guard, default off): drop shingles with document
+    frequency above the cap from the Jaccard computation entirely (both the
+    common counts AND the set sizes — consistent filtered-space semantics).
+    Boilerplate shingles carry no dedup signal and dominate the join cost.
+    """
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "leftsemi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
-    )
     if candidates is not None:
-        common = common.join(candidates, ["doc_a", "doc_b"], "leftsemi")
+        common = (
+            candidates.join(a, "doc_a")
+            .join(b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("common"))
+        )
+    else:
+        common = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("common"))
+        )
     return (
         common.join(sizes.withColumnRenamed("doc_id", "doc_a")
                     .withColumnRenamed("sz", "sz_a"), "doc_a")
@@ -203,24 +242,19 @@ def simhash_signatures(sh_tf: DataFrame, dictionary: DataFrame, bits: int = 64) 
             % F.lit(MERSENNE61)
         ).alias("h"),
     )
-    bit = ids.select(
-        "doc_id",
-        "tf",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bpos"),
-        "h",
-    ).withColumn(
-        # (h >> bpos) & 1 mapped to +-1, tf-weighted; F.shiftright only takes
-        # a literal shift in the Python API, so use the SQL form
-        "contrib",
-        F.expr("tf * ((shiftright(h, cast(bpos as int)) & 1) * 2 - 1)"),
+    # One hash-agg, NO explode: bit b's signed sum is 2*sum(tf*bit_b(h)) -
+    # sum(tf), so 64 plain SUM expressions (+ the tf total) replace the
+    # previous 64x row blow-up per (doc, shingle) — map-side partial agg over
+    # the original rows, single shuffle of 65 longs per doc.
+    sums = ids.groupBy("doc_id").agg(
+        F.sum("tf").alias("_tot"),
+        *[
+            F.sum(F.expr(f"tf * (shiftright(h, {b}) & 1)")).alias(f"_s{b}")
+            for b in range(bits)
+        ],
     )
-    agg = bit.groupBy("doc_id", "bpos").agg(F.sum("contrib").alias("s"))
-    return agg.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("bpos", "s"))),
-                lambda x: F.when(x["s"] > 0, "1").otherwise("0"),
-            ),
-            "",
-        ).alias("simhash")
-    )
+    bit_exprs = [
+        F.when(2 * F.col(f"_s{b}") - F.col("_tot") > 0, "1").otherwise("0")
+        for b in range(bits)
+    ]
+    return sums.select("doc_id", F.concat(*bit_exprs).alias("simhash"))

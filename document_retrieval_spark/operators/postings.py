@@ -62,37 +62,15 @@ def assign_doc_ordinals(docs: DataFrame, n_parts: int | None = None) -> DataFram
     """docs(docid, ...) -> + doc_ord (dense 0..N-1, ascending by docid).
 
     Fully distributed dense-id assignment, JVM-only (no zipWithIndex: the RDD
-    path would pickle every row through Python). Classic two-pass offsets:
-
-    1. range-partition by docid (P ranges), cache;
-    2. local rank within each range partition (window keyed by partition id —
-       groups are the range partitions themselves, so no single hot reducer);
-    3. tiny per-partition counts -> cumulative offsets, broadcast-joined back.
+    path would pickle every row through Python) — the two-pass range-partition
+    + local-rank + broadcast-offsets pattern of operators/ordinals.py.
 
     Replaces the reference's positional index<->docid mapping
     (`bm25_ranking.ipynb cell 6:19-20`) without driver-side arrays.
     """
-    from pyspark.sql import Window
+    from .ordinals import dense_rank_ordinals
 
-    n_parts = n_parts or docs.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        docs.repartitionByRange(n_parts, "docid")
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
-    w_local = Window.partitionBy("_pid").orderBy("docid")
-    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn(
-        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
-    ).select("_pid", "_off")
-    out = (
-        ranged.withColumn("_local", F.row_number().over(w_local))
-        .join(F.broadcast(offsets), "_pid")
-        .withColumn("doc_ord", (F.col("_off") + F.col("_local") - 1).cast("long"))
-        .drop("_pid", "_local", "_off")
-    )
-    return out
+    return dense_rank_ordinals(docs, ["docid"], "doc_ord", n_parts=n_parts)
 
 
 def quotient_expr(bm25: BM25Config):

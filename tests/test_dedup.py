@@ -108,3 +108,52 @@ def test_lsh_candidates_subset_of_sharing_docs(docs):
             for r in lsh_candidate_pairs(lsh_bands(sig, 4)).collect()}
     # candidates must at least include the exact dup pair
     assert ("d1", "d2") in cand
+
+
+def test_hot_shingle_candidate_path_no_quadratic_blowup(spark):
+    """A boilerplate shingle shared by EVERY doc must not quadratically blow
+    up jaccard_pairs when a small candidate set restricts the verify join:
+    the candidate-first join is linear in candidates, so 10k docs sharing one
+    shingle verify 3 pairs without forming the ~10^8 co-shingle pairs."""
+    import pandas as pd
+
+    from document_retrieval_spark.operators.dedup import jaccard_pairs
+
+    n = 10_000
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i:05d}" for i in range(n)],
+            # every doc: the hot boilerplate shingle + one unique shingle,
+            # except d00001 duplicates d00000's unique shingle
+            "text": [
+                "hot boiler plate " + ("alpha beta gamma" if i <= 1 else f"u{i} v{i} w{i}")
+                for i in range(n)
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    sh = shingles(docs, k=3)
+    cand = spark.createDataFrame(
+        [("d00000", "d00001"), ("d00000", "d00002"), ("d00005", "d00006")],
+        ["doc_a", "doc_b"],
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(sh, cand).collect()
+    }
+    # d00000 vs d00001: identical shingle sets -> jaccard 1.0
+    assert got[("d00000", "d00001")] == 1.0
+    # d00000 vs d00002 / d00005 vs d00006: share only the boilerplate prefix
+    assert 0.0 < got[("d00000", "d00002")] < 0.5
+    assert got[("d00005", "d00006")] == got[("d00000", "d00002")]
+    assert len(got) == 3
+
+    # scale guard: capping shingle df excludes the boilerplate shingles, so
+    # the d00000/d00002 pair (common = boilerplate only) disappears while the
+    # true near-dupe pair survives on its unique shingles
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(sh, cand, max_shingle_df=100).collect()
+    }
+    assert ("d00000", "d00002") not in capped
+    assert capped[("d00000", "d00001")] == 1.0
