@@ -111,6 +111,11 @@ class IndexConfig:
     # legacy knob from the hash-salting design; range salting derives the
     # split from seg_postings instead. Kept for config compatibility.
     n_salts: int = 16
+    # Per-language index: documents carry this column (detected upstream or
+    # present on the transcripts); postings/stats/routing are keyed by it —
+    # the reference's one-model-per-language production design
+    # (`final_implementation.py:300-326`). None = single global model.
+    lang_col: str | None = None
 
 
 @dataclass(frozen=True)

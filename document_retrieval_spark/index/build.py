@@ -125,55 +125,85 @@ class IndexBuilder:
 
     def build(self, transcripts: DataFrame) -> dict:
         """Run all stages (skipping completed ones); returns the build report
-        with per-stage manifests + skipped flags."""
+        with per-stage manifests + skipped flags.
+
+        Stage metrics come from ``df.observe()`` ON THE WRITE ACTION itself —
+        the previous design re-read every stage's parquet output just to
+        count rows, doubling read IO per stage (and, locally, adding a whole
+        job of scheduler floor per stage). With ``lang_col`` set
+        (IndexConfig.lang_col) every stage is language-keyed and postings are
+        additionally partitioned by language — the reference's
+        one-model-per-language layout (`final_implementation.py:300-326`).
+        """
+        from pyspark.sql import Observation
+
+        lang = self.cfg.index.lang_col
         report: dict = {"stages": {}, "skipped": []}
         self._drop_stale_groups()
 
+        # tokenize+assemble ONCE per build invocation; the docs and tf stages
+        # share this DataFrame (tokens are not persisted to disk — the token
+        # arrays are bigger than the tf long form they produce, so resume
+        # re-tokenizes instead of re-reading)
+        docs_tok: DataFrame | None = None
+
+        def get_docs_tok() -> DataFrame:
+            nonlocal docs_tok
+            if docs_tok is None:
+                docs_tok = tokenize_documents(
+                    assemble_documents(transcripts, lang_col=lang),
+                    self.cfg.tokenizer,
+                ).persist()
+            return docs_tok
+
+        doc_cols = ["docid", "dl", "n_turns", "first_ts", "last_ts"] + (
+            [lang] if lang else []
+        )
         if not self._complete("docs"):
             t0 = time.time()
-            docs = tokenize_documents(assemble_documents(transcripts), self.cfg.tokenizer)
-            docs.select(
-                "docid", "dl", "n_turns", "first_ts", "last_ts"
+            obs = Observation()
+            get_docs_tok().select(*doc_cols).observe(
+                obs, F.count(F.lit(1)).alias("rows")
             ).write.mode("overwrite").parquet(self._path("docs"))
-            n = self.spark.read.parquet(self._path("docs")).count()
             report["stages"]["docs"] = self._write_manifest(
-                "docs", t0, {"rows": n}, ["<input transcripts>"]
+                "docs", t0, {"rows": obs.get["rows"]}, ["<input transcripts>"]
             )
         else:
             report["skipped"].append("docs")
 
         if not self._complete("doc_map"):
             t0 = time.time()
-            docs = self.spark.read.parquet(self._path("docs"))
-            doc_map = assign_doc_ordinals(docs.select("docid", "dl"))
-            doc_map.write.mode("overwrite").parquet(self._path("doc_map"))
-            n = self.spark.read.parquet(self._path("doc_map")).count()
+            src = (
+                get_docs_tok()
+                if docs_tok is not None
+                else self.spark.read.parquet(self._path("docs"))
+            )
+            doc_map = assign_doc_ordinals(src.select("docid", "dl"))
+            obs = Observation()
+            doc_map.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+                "overwrite"
+            ).parquet(self._path("doc_map"))
             report["stages"]["doc_map"] = self._write_manifest(
-                "doc_map", t0, {"rows": n}, [self._path("docs")]
+                "doc_map", t0, {"rows": obs.get["rows"]}, [self._path("docs")]
             )
         else:
             report["skipped"].append("doc_map")
 
         if not self._complete("tf"):
             t0 = time.time()
-            # re-tokenize from raw transcripts (docs stage stores no tokens —
-            # token arrays are bigger than the tf long form they produce)
-            docs = tokenize_documents(assemble_documents(transcripts), self.cfg.tokenizer)
-            tf = term_frequencies(docs)
+            tf = term_frequencies(get_docs_tok(), lang_col=lang)
             doc_map = self.spark.read.parquet(self._path("doc_map"))
             g = self.cfg.index.n_shard_groups
-            tf_part = (
-                tf.join(doc_map, "docid")
-                .withColumn(
-                    "shard_group", F.pmod(F.xxhash64("term"), F.lit(g)).cast("int")
-                )
+            tf_part = tf.join(doc_map.select("docid", "doc_ord", "dl"), "docid").withColumn(
+                "shard_group", F.pmod(F.xxhash64("term"), F.lit(g)).cast("int")
             )
-            tf_part.write.mode("overwrite").partitionBy("shard_group").parquet(
-                self._path("tf")
-            )
-            n = self.spark.read.parquet(self._path("tf")).count()
+            obs = Observation()
+            tf_part.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+                "overwrite"
+            ).partitionBy("shard_group").parquet(self._path("tf"))
             report["stages"]["tf"] = self._write_manifest(
-                "tf", t0, {"rows": n}, ["<input transcripts>", self._path("doc_map")]
+                "tf", t0, {"rows": obs.get["rows"]},
+                ["<input transcripts>", self._path("doc_map")],
             )
         else:
             report["skipped"].append("tf")
@@ -182,23 +212,30 @@ class IndexBuilder:
             t0 = time.time()
             docs = self.spark.read.parquet(self._path("docs"))
             tf = self.spark.read.parquet(self._path("tf"))
-            coll = collection_stats(docs)
-            stats = build_term_stats(tf.select("term", "docid"), coll)
+            coll = collection_stats(docs, lang_col=lang)
+            stats = build_term_stats(
+                tf.select("term", "docid", *([lang] if lang else [])),
+                coll,
+                lang_col=lang,
+            )
             coll.write.mode("overwrite").parquet(self._path("stats/coll"))
-            stats.write.mode("overwrite").parquet(self._path("stats/terms"))
-            n = self.spark.read.parquet(self._path("stats/terms")).count()
+            obs = Observation()
+            stats.observe(obs, F.count(F.lit(1)).alias("terms")).write.mode(
+                "overwrite"
+            ).parquet(self._path("stats/terms"))
             report["stages"]["stats"] = self._write_manifest(
-                "stats", t0, {"terms": n}, [self._path("docs"), self._path("tf")]
+                "stats", t0, {"terms": obs.get["terms"]},
+                [self._path("docs"), self._path("tf")],
             )
         else:
             report["skipped"].append("stats")
 
+        if docs_tok is not None:
+            docs_tok.unpersist()
+
         fault_after = int(os.environ.get("FAULT_AFTER_SHARD", "-1"))
-        stats = self.spark.read.parquet(self._path("stats/terms"))
-        coll = self.spark.read.parquet(self._path("stats/coll"))
-        stats_b = stats.join(
-            F.broadcast(coll.select("n_docs", "avgdl")), how="cross"
-        ) if "avgdl" not in stats.columns else stats
+        stats_b = self.spark.read.parquet(self._path("stats/terms"))
+        tf_cols = ["term", "docid", "doc_ord", "tf", "dl"] + ([lang] if lang else [])
         for g in range(self.cfg.index.n_shard_groups):
             stage = f"postings/group={g}"
             if self._complete(stage):
@@ -209,28 +246,37 @@ class IndexBuilder:
                 F.col("shard_group") == g
             )
             postings = build_postings(
-                tf_g.select("term", "docid", "doc_ord", "tf", "dl"),
+                tf_g.select(*tf_cols),
                 stats_b,
                 self.cfg.index,
                 self.cfg.bm25,
+                lang_col=lang,
             )
-            postings.write.mode("overwrite").parquet(self._path(stage))
-            written = self.spark.read.parquet(self._path(stage))
-            agg = written.agg(
-                F.count("*").alias("segments"),
+            # metrics observed on the write — no re-read; terms counted
+            # exactly as sum(seg_id == 0) (one zeroth segment per term, so no
+            # distinct aggregate, which observe() disallows)
+            obs = Observation()
+            observed = postings.observe(
+                obs,
+                F.count(F.lit(1)).alias("segments"),
                 F.sum("n_postings").alias("postings"),
-                F.countDistinct("term").alias("terms"),
+                F.sum(F.when(F.col("seg_id") == 0, 1).otherwise(0)).alias("terms"),
                 F.max("df").alias("max_df"),
                 F.expr("percentile_approx(df, 0.5)").alias("median_df"),
-            ).collect()[0]
-            skew = float(agg["max_df"]) / max(float(agg["median_df"]), 1.0)
+            )
+            w = observed.write.mode("overwrite")
+            if lang:
+                w = w.partitionBy(lang)
+            w.parquet(self._path(stage))
+            agg = obs.get
+            skew = float(agg["max_df"] or 0) / max(float(agg["median_df"] or 1), 1.0)
             report["stages"][stage] = self._write_manifest(
                 stage,
                 t0,
                 {
                     "postings_written": int(agg["postings"] or 0),
                     "segments": int(agg["segments"]),
-                    "terms": int(agg["terms"]),
+                    "terms": int(agg["terms"] or 0),
                     "max_df": int(agg["max_df"] or 0),
                     "skew_ratio": round(skew, 2),
                 },

@@ -17,7 +17,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# allow `python scripts/build_index.py` straight from a checkout (spark-submit
+# ships the package via --py-files instead)
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 
 def main(argv=None) -> int:
@@ -30,6 +37,10 @@ def main(argv=None) -> int:
     ap.add_argument("--shards", type=int, default=32)
     ap.add_argument("--groups", type=int, default=8)
     ap.add_argument("--salt-df-threshold", type=int, default=10_000)
+    ap.add_argument("--lang-col", default=None,
+                    help="build a per-language index keyed by this transcript "
+                         "column (one model per language, postings partitioned "
+                         "by language — `final_implementation.py:300-326`)")
     ap.add_argument("--length-norm", choices=["reference", "standard"],
                     default="reference")
     ap.add_argument("--master", default=None)
@@ -48,9 +59,9 @@ def main(argv=None) -> int:
     if args.synthesize:
         from document_retrieval_spark.fixtures import gen_transcripts, transcripts_schema
 
-        transcripts = spark.createDataFrame(
-            gen_transcripts(args.synthesize), schema=transcripts_schema()
-        )
+        pdf = gen_transcripts(args.synthesize, multilang=bool(args.lang_col))
+        schema = None if args.lang_col else transcripts_schema()
+        transcripts = spark.createDataFrame(pdf, schema=schema)
     elif args.transcripts:
         from document_retrieval_spark.sources import read_transcripts
 
@@ -65,6 +76,7 @@ def main(argv=None) -> int:
             n_shards=args.shards,
             n_shard_groups=args.groups,
             salt_df_threshold=args.salt_df_threshold,
+            lang_col=args.lang_col,
         ),
     )
     report = IndexBuilder(spark, cfg, args.out).build(transcripts)

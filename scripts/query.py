@@ -12,6 +12,14 @@
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# allow `python scripts/query.py` straight from a checkout (spark-submit
+# ships the package via --py-files instead)
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 
 def main(argv=None) -> int:
@@ -21,6 +29,10 @@ def main(argv=None) -> int:
     ap.add_argument("--out", required=True)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--submission", help="also write reference-style submission CSV")
+    ap.add_argument("--lang-col", default=None,
+                    help="route queries per language against a per-language "
+                         "index (queries must carry this column; postings are "
+                         "partition-pruned to the touched languages)")
     ap.add_argument("--length-norm", choices=["reference", "standard"],
                     default="reference")
     ap.add_argument("--master", default=None)
@@ -41,8 +53,13 @@ def main(argv=None) -> int:
         queries = spark.read.csv(args.queries, header=True)
     else:
         queries = spark.read.parquet(args.queries)
-    qt = prepare_query_terms(queries, REFERENCE_PROFILE, bm25)
-    topk = wand_topk(qt, idx.postings, idx.doc_map, idx.coll, bm25, k=args.k)
+    qt = prepare_query_terms(
+        queries, REFERENCE_PROFILE, bm25, lang_col=args.lang_col
+    )
+    topk = wand_topk(
+        qt, idx.postings, idx.doc_map, idx.coll, bm25, k=args.k,
+        lang_col=args.lang_col,
+    )
     topk.write.mode("overwrite").parquet(args.out)
 
     if args.submission:
