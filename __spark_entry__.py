@@ -932,6 +932,54 @@ def _q_doc_fingerprint(spark, sf_dir):
     )
 
 
+def _q_bm25_topk_stemmed(spark, sf_dir):
+    """BM25 top-10 over a PORTER-STEMMED pipeline (F4c,
+    `text_preprocessing_and_tfidf.py:29`), hermetic pure-Python stemmer
+    (functions/stem.py). No oracle_sql twin: DuckDB cannot stem (the fts
+    extension is unavailable offline), so the driver records the weaker
+    rows-only check; full rank-identity vs the stemming NumPy oracle is
+    covered by tests/test_stem.py."""
+    from pyspark.sql import functions as F
+
+    from document_retrieval_spark.config import BM25Config, TokenizerConfig
+    from document_retrieval_spark.operators.stats import (
+        build_term_stats,
+        collection_stats,
+        term_frequencies,
+        tokenize_documents,
+    )
+    from document_retrieval_spark.operators.topk import topk_per_group
+    from document_retrieval_spark.query.bm25 import prepare_query_terms
+
+    profile = TokenizerConfig(
+        lowercase=True, punct_mode="alnum_space", stopwords=(),
+        stem_lang="porter",
+    )
+    bm25 = BM25Config()
+    docs = tokenize_documents(
+        _docs(spark, sf_dir).selectExpr("doc_id", "text"), profile
+    )
+    tf = term_frequencies(docs.withColumnRenamed("doc_id", "docid"))
+    stats = build_term_stats(tf, collection_stats(docs))
+    qt = prepare_query_terms(_query_df(spark), profile, bm25)
+    from document_retrieval_spark.query.bm25 import bm25_term_score
+
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(
+            F.broadcast(stats.select("term", "idf", "avgdl")), "term"
+        )
+        .join(docs.selectExpr("doc_id as docid", "dl"), "docid")
+        .withColumn("term_score", bm25_term_score(bm25))
+        .groupBy("query_id", "docid")
+        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+    )
+    return (
+        topk_per_group(scored, ["query_id"], "score", "docid", k=10)
+        .select("query_id", "rank", F.col("docid").alias("doc_id"), "score")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "doc_lengths": _q_doc_lengths,
@@ -939,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats": _q_term_stats,
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_standard": _q_bm25_topk_standard,
+        "bm25_topk_stemmed": _q_bm25_topk_stemmed,
         "bm25_per_lang_topk": _q_bm25_per_lang_topk,
         "cosine_topk": _q_cosine_topk,
         "bm25_submission": _q_bm25_submission,

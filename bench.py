@@ -38,20 +38,28 @@ SCALE_N = int(os.environ.get("BENCH_SCALE_N", "4"))  # N vs 4N parallelism
 _SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
 N_CONV = max(200, int(200_000 * _SF))
 N_QUERIES = 200
+# The scaling probes use a LARGER corpus than the headline queries: the
+# north-rule efficiency target is a property of the distributed fraction,
+# and below ~10^6 turns the local-mode fixed cost floor (job scheduling,
+# Python worker spawn, driver planning — measured ~10-15 s across the ~30-job
+# build+query) dominates the measurement (BENCH.md has the floor analysis).
+SCALING_CONVS = int(os.environ.get("BENCH_SCALING_CONVS", "160000"))
 
 
-def _mk_corpus():
+def _mk_corpus(n_conv: int = None):
     from document_retrieval_spark.fixtures import gen_queries, gen_transcripts
 
-    tr = gen_transcripts(N_CONV, seed=42)
+    tr = gen_transcripts(n_conv or N_CONV, seed=42)
     q = gen_queries(tr, N_QUERIES, seed=43)
     return tr, q
 
 
-def _transcripts_parquet(tr_pdf) -> str:
+def _transcripts_parquet(tr_pdf, n_files: int = 32) -> str:
     """Materialize the synthetic corpus as parquet ONCE (untimed): the build
     must read a distributed table scan, not a driver-local relation that gets
-    re-shipped serially on every action."""
+    re-shipped serially on every action. Written as a DIRECTORY of n_files
+    chunk files so the scan parallelizes without a repartition shuffle (a
+    single small file is one input split)."""
     import hashlib
     import tempfile
 
@@ -59,11 +67,27 @@ def _transcripts_parquet(tr_pdf) -> str:
         f"{len(tr_pdf)}-{tr_pdf['conv_id'].iloc[0]}-{tr_pdf['conv_id'].iloc[-1]}".encode()
     ).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"bench_transcripts_{key}.parquet")
-    if not os.path.exists(path):
-        tr_pdf.to_parquet(
-            path, index=False, coerce_timestamps="us",
-            allow_truncated_timestamps=True,
-        )
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(path, exist_ok=True)
+        # chunk on conversation boundaries so assembly stays correct
+        convs = tr_pdf["conv_id"].to_numpy()
+        import numpy as np
+
+        bounds = np.linspace(0, len(tr_pdf), n_files + 1).astype(int)
+        for i in range(n_files):
+            lo, hi = bounds[i], bounds[i + 1]
+            if hi < len(tr_pdf):  # don't split a conversation across files
+                while hi > lo and convs[hi - 1] == convs[hi]:
+                    hi -= 1
+            if i + 1 < n_files:
+                bounds[i + 1] = hi
+            if hi > lo:
+                tr_pdf.iloc[lo:hi].to_parquet(
+                    os.path.join(path, f"part-{i:04d}.parquet"), index=False,
+                    coerce_timestamps="us", allow_truncated_timestamps=True,
+                )
+        open(done, "w").close()
     return path
 
 
@@ -93,9 +117,7 @@ def _build_and_query(spark, tr_pdf, q_pdf, k=10):
 
     bm25 = BM25Config()
     path = _transcripts_parquet(tr_pdf)
-    transcripts = spark.read.parquet(path).repartition(
-        spark.sparkContext.defaultParallelism * 2
-    )
+    transcripts = spark.read.parquet(path)
     queries = spark.createDataFrame(q_pdf[["query_id", "query"]])
 
     t0 = time.time()
@@ -129,13 +151,22 @@ def _build_and_query(spark, tr_pdf, q_pdf, k=10):
     return build_sec, query_sec, docs_ord, coll, postings, stats, tf, docs
 
 
-def _probe(cores: int) -> dict:
+def _probe(cores: int, n_conv: int) -> dict:
     """Run the scaling-unit job (build + WAND batch) in THIS process."""
     from document_retrieval_spark.session import get_spark
 
-    tr_pdf, q_pdf = _mk_corpus()
-    spark = get_spark(f"bench_probe_{cores}", master=f"local[{cores}]",
-                      shuffle_partitions=max(cores * 2, 8))
+    tr_pdf, q_pdf = _mk_corpus(n_conv)
+    spark = get_spark(
+        f"bench_probe_{cores}", master=f"local[{cores}]",
+        shuffle_partitions=max(cores * 2, 8),
+        extra_conf={
+            # the corpus is a directory of 32 small files: lower the split
+            # size so the scan parallelizes instead of coalescing into 1-2
+            # input partitions
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "0",
+        },
+    )
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
     b, q, *_ = _build_and_query(spark, tr_pdf, q_pdf)
     spark.stop()
@@ -143,15 +174,25 @@ def _probe(cores: int) -> dict:
             "turns": len(tr_pdf)}
 
 
-def _probe_subprocess(cores: int) -> dict:
+def _probe_subprocess(cores: int, n_conv: int) -> dict:
     """Each parallelism level gets a FRESH process: a second SparkContext in
     the same JVM inherits thread-pool state from the first and poisons the
     scaling measurement (observed: 4N slower than N in-process, 3.9x faster
-    out-of-process)."""
+    out-of-process).
+
+    The process is PINNED to `cores` physical CPUs with taskset — this is the
+    sandbox stand-in for the two cluster sizes of the north rule: without
+    pinning, a local[N] JVM still spreads GC/IO/Python-worker threads over
+    all 32 host cores and the N-core run is not actually an N-core run."""
     import subprocess
 
+    cmd = [sys.executable, __file__, "--probe", str(cores), str(n_conv)]
+    import shutil as _sh
+
+    if _sh.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, __file__, "--probe", str(cores)],
+        cmd,
         capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
         timeout=1800,
     )
@@ -160,7 +201,8 @@ def _probe_subprocess(cores: int) -> dict:
 
 def main() -> int:
     if len(sys.argv) >= 3 and sys.argv[1] == "--probe":
-        print(json.dumps(_probe(int(sys.argv[2]))))
+        n_conv = int(sys.argv[3]) if len(sys.argv) >= 4 else N_CONV
+        print(json.dumps(_probe(int(sys.argv[2]), n_conv)))
         return 0
 
     tr_pdf, q_pdf = _mk_corpus()
@@ -168,48 +210,53 @@ def main() -> int:
     queries_sec: dict[str, float] = {}
     extras: dict = {}
 
-    # ---- scaling runs in separate subprocesses, interleaved best-of-R:
+    # ---- scaling runs in separate CPU-PINNED subprocesses on the larger
+    # scaling corpus (SCALING_CONVS conversations), interleaved best-of-R:
     # the sandbox host shows up to 3x run-to-run noise on identical work, so
     # each parallelism level is sampled R times alternately and the MIN
     # (least-interference window) is reported ----
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "2"))
     runs_n, runs_4n = [], []
     for _ in range(reps):
-        runs_n.append(_probe_subprocess(SCALE_N))
-        runs_4n.append(_probe_subprocess(SCALE_N * 4))
+        runs_n.append(_probe_subprocess(SCALE_N, SCALING_CONVS))
+        runs_4n.append(_probe_subprocess(SCALE_N * 4, SCALING_CONVS))
     best_n = min(runs_n, key=lambda r: r["build_sec"] + r["query_sec"])
     best_4n = min(runs_4n, key=lambda r: r["build_sec"] + r["query_sec"])
     b_n, q_n = best_n["build_sec"], best_n["query_sec"]
     b_4n, q_4n = best_4n["build_sec"], best_4n["query_sec"]
-    queries_sec["index_build"] = b_4n
-    queries_sec["bm25_wand"] = q_4n
+    scaling_turns = best_n["turns"]
 
-    # ---- main session for the remaining headline queries ----
+    # ---- main session for the headline queries (sf-sized corpus) ----
     from document_retrieval_spark.session import get_spark
 
     spark = get_spark("bench_main", master=f"local[{SCALE_N * 4}]",
                       shuffle_partitions=max(SCALE_N * 8, 16))
-    _, _, docs_ord, coll, postings, stats, tf, docs = _build_and_query(
+    b_main, q_main, docs_ord, coll, postings, stats, tf, docs = _build_and_query(
         spark, tr_pdf, q_pdf
     )
+    queries_sec["index_build"] = round(b_main, 3)
+    queries_sec["bm25_wand"] = round(q_main, 3)
 
-    thr_n = n_turns / (b_n + q_n)
-    thr_4n = n_turns / (b_4n + q_4n)
+    thr_n = scaling_turns / (b_n + q_n)
+    thr_4n = scaling_turns / (b_4n + q_4n)
     extras["scaling"] = {
         "n_cores": SCALE_N,
         "4n_cores": SCALE_N * 4,
-        "turns": n_turns,
+        "turns": scaling_turns,
         "throughput_n_turns_per_sec": round(thr_n, 1),
         "throughput_4n_turns_per_sec": round(thr_4n, 1),
         "efficiency": round(thr_4n / thr_n / 4.0, 3),
         "samples_n": [[r["build_sec"], r["query_sec"]] for r in runs_n],
         "samples_4n": [[r["build_sec"], r["query_sec"]] for r in runs_4n],
-        "note": "best-of-reps per level, interleaved; sandbox host shows up "
-                "to 3x timing noise on identical work",
+        "note": "cpu-pinned (taskset) subprocess per level, interleaved "
+                "best-of-reps; larger corpus than the headline queries so "
+                "the distributed fraction dominates the local fixed-cost "
+                "floor (BENCH.md)",
     }
     extras["index"] = {
-        "turns_per_sec_build": round(n_turns / b_4n, 1),
-        "queries_per_sec": round(N_QUERIES / q_4n, 1),
+        "turns_per_sec_build": round(n_turns / b_main, 1),
+        "queries_per_sec": round(N_QUERIES / q_main, 1),
+        "scaling_turns_per_sec_build_4n": round(scaling_turns / b_4n, 1),
     }
 
     # ---- remaining headline queries on the 4N session ----

@@ -96,8 +96,15 @@ def tokenize_pandas_udf(cfg: TokenizerConfig):
     from ..oracle.bm25 import oracle_tokenize
 
     lemmatizer = None
-    stemmer = None
-    if cfg.lemmatize or cfg.stem_lang:
+    stem_fn = None
+    if cfg.stem_lang == "porter":
+        # hermetic pure-Python Porter (functions/stem.py) — the reference's
+        # F4c PorterStemmer path (`text_preprocessing_and_tfidf.py:29`),
+        # always available, no nltk needed
+        from .stem import porter_stem
+
+        stem_fn = porter_stem
+    if cfg.lemmatize or (cfg.stem_lang and stem_fn is None):
         try:  # gated import — nltk is optional in this environment
             if cfg.lemmatize:
                 from nltk.stem import WordNetLemmatizer
@@ -106,9 +113,9 @@ def tokenize_pandas_udf(cfg: TokenizerConfig):
             if cfg.stem_lang:
                 from nltk.stem.snowball import SnowballStemmer
 
-                stemmer = SnowballStemmer(cfg.stem_lang)
+                stem_fn = SnowballStemmer(cfg.stem_lang).stem
         except Exception:
-            lemmatizer = stemmer = None
+            lemmatizer = stem_fn = None
 
     base_cfg = TokenizerConfig(
         lowercase=cfg.lowercase,
@@ -124,8 +131,8 @@ def tokenize_pandas_udf(cfg: TokenizerConfig):
             toks = oracle_tokenize(text, base_cfg)
             if lemmatizer is not None:
                 toks = [lemmatizer.lemmatize(t) for t in toks]
-            if stemmer is not None:
-                toks = [stemmer.stem(t) for t in toks]
+            if stem_fn is not None:
+                toks = [stem_fn(t) for t in toks]
             if want_bigrams and len(toks) >= 2:
                 toks = toks + ["_".join(p) for p in zip(toks, toks[1:])]
             return toks

@@ -32,10 +32,18 @@ def tokenize_documents(
 
     dl = post-preprocessing token count incl. appended bigrams — the
     reference's doc length (`bm25_ranking.ipynb cell 3:37`, SURVEY A5).
+
+    Configs whose steps are all native expressions use the JVM-side
+    tokenizer; lemma/stem configs fall back to the Arrow-batched pandas UDF
+    (the only Python in the pipeline, and only when the config demands it).
     """
-    return docs.withColumn("tokens", tokenize_expr(F.col(text_col), cfg)).withColumn(
-        "dl", F.size("tokens")
-    )
+    if cfg.lemmatize or cfg.stem_lang:
+        from ..functions.text import tokenize_pandas_udf
+
+        tok = tokenize_pandas_udf(cfg)(F.col(text_col))
+    else:
+        tok = tokenize_expr(F.col(text_col), cfg)
+    return docs.withColumn("tokens", tok).withColumn("dl", F.size("tokens"))
 
 
 def term_frequencies(tok_docs: DataFrame, lang_col: str | None = None) -> DataFrame:

@@ -54,6 +54,12 @@ def oracle_tokenize(text: str, cfg: TokenizerConfig) -> list[str]:
         sw = cfg.stopword_set()
         # token kept in ORIGINAL case; compare lowered (`cell 1:14`)
         toks = [t for t in toks if t.lower() not in sw]
+    if cfg.stem_lang == "porter":
+        # hermetic Porter (functions/stem.py) — stem BEFORE bigrams, as the
+        # reference does (`bm25_ranking.ipynb cell 1:16-25`)
+        from ..functions.stem import porter_stem
+
+        toks = [porter_stem(t) for t in toks]
     if cfg.bigrams and len(toks) >= 2:
         toks = toks + ["_".join(p) for p in zip(toks, toks[1:])]
     return toks

@@ -42,9 +42,13 @@ def prepare_query_terms(
     """queries(query_id, query[, lang]) -> (query_id[, lang], term), with
     distinct terms per query when cfg says so (set(query), `cell 3:29`)."""
     keys = ["query_id"] + ([lang_col] if lang_col else [])
-    exploded = queries.select(
-        *keys, F.explode(tokenize_expr(F.col(query_col), cfg)).alias("term")
-    )
+    if cfg.lemmatize or cfg.stem_lang:
+        from ..functions.text import tokenize_pandas_udf
+
+        tok = tokenize_pandas_udf(cfg)(F.col(query_col))
+    else:
+        tok = tokenize_expr(F.col(query_col), cfg)
+    exploded = queries.select(*keys, F.explode(tok).alias("term"))
     if bm25.unique_query_terms:
         exploded = exploded.dropDuplicates(keys + ["term"])
     return exploded
