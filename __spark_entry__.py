@@ -902,7 +902,11 @@ def _q_ann_ivf(spark, sf_dir):
     probes = v.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("probe_id"), "embedding"
     )
-    return ivf_cosine_topk(v, probes, n_centroids=8, n_probe=2, k=10)
+    # train_iters=0: raw first-n init, exactly reproducible by the SQL
+    # oracle; the TRAINED path (default) is recall-tested in
+    # tests/test_similarity.py instead of hash-gated
+    return ivf_cosine_topk(v, probes, n_centroids=8, n_probe=2, k=10,
+                           train_iters=0)
 
 
 def _q_text_quality(spark, sf_dir):

@@ -287,6 +287,132 @@ class IndexBuilder:
                     f"FAULT_AFTER_SHARD={g}: injected failure after shard group {g}"
                 )
 
+        return self._rollup(report)
+
+    def compact(self, staged_turns: DataFrame) -> dict:
+        """Fold streamed-in transcripts into the persisted index — the batch
+        half of the lambda promised by streaming/ingest.py: the stream keeps
+        appending raw turns to a staging table (streaming.stage_turns);
+        this job periodically merges them.
+
+        Incremental work (proportional to the DELTA):
+          - assemble+tokenize only the staged conversations,
+          - docs / doc_map / tf stages are APPENDED (new doc ordinals
+            continue after the current max, preserving uniqueness+density),
+          - conversations already indexed are dropped (anti-join on docid) —
+            the staging contract is complete conversations (the streaming
+            assembler's session-window watermark provides exactly that).
+
+        Rebuilt work (REQUIRED for correctness, proportional to the index,
+        not the corpus text): stats and postings — N, df, idf and therefore
+        every segment's idf column change globally when documents arrive, so
+        the encode pass re-runs from the (cheap, already-tokenized) tf table.
+        Tokenization — the dominant cost at transcript scale — never re-runs.
+
+        Note on ordering: appended ordinals are NOT docid-sorted across the
+        old/new boundary, so an exact-score TIE may rank in arrival order
+        rather than docid order (scores themselves are identical to a cold
+        rebuild; tests/test_compaction.py asserts result equality on a
+        tie-free corpus).
+        """
+        from pyspark.sql import Observation
+
+        lang = self.cfg.index.lang_col
+        for stage in ("docs", "doc_map", "tf", "stats"):
+            if not self._complete(stage):
+                raise ValueError(
+                    f"compact() requires a completed build (stage {stage!r} "
+                    "is missing/stale); run build() first"
+                )
+        report: dict = {"stages": {}, "skipped": []}
+
+        def _refresh(stage: str):
+            # the session-level FileStatusCache would otherwise serve the
+            # pre-append listing of a path this session has read before
+            self.spark.catalog.refreshByPath(self._path(stage))
+
+        # materialize the delta ONCE to a staging table, severing its lineage
+        # from the docs path: the appends below refresh that path's file
+        # listing, which would otherwise invalidate this plan's cache and
+        # re-run the anti-join against the already-appended rows (dropping
+        # every new doc). IO cost is one write+read of the DELTA only.
+        existing = self.spark.read.parquet(self._path("docs"))
+        delta_path = self._path("_compact_delta")
+        tokenize_documents(
+            assemble_documents(staged_turns, lang_col=lang), self.cfg.tokenizer
+        ).join(existing.select("docid"), "docid", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(delta_path)
+        self.spark.catalog.refreshByPath(delta_path)
+        docs_tok = self.spark.read.parquet(delta_path)
+
+        doc_cols = ["docid", "dl", "n_turns", "first_ts", "last_ts"] + (
+            [lang] if lang else []
+        )
+        t0 = time.time()
+        obs = Observation()
+        docs_tok.select(*doc_cols).observe(
+            obs, F.count(F.lit(1)).alias("rows")
+        ).write.mode("append").parquet(self._path("docs"))
+        _refresh("docs")
+        n_new = obs.get["rows"]
+        old = self.manifest("docs") or {}
+        report["stages"]["docs"] = self._write_manifest(
+            "docs", t0, {"rows": old.get("rows", 0) + n_new,
+                         "appended": n_new}, ["<staged transcripts>"]
+        )
+
+        t0 = time.time()
+        base = self.spark.read.parquet(self._path("doc_map")).agg(
+            F.coalesce(F.max("doc_ord") + 1, F.lit(0)).alias("b")
+        ).collect()[0]["b"]
+        new_map = assign_doc_ordinals(docs_tok.select("docid", "dl")).withColumn(
+            "doc_ord", F.col("doc_ord") + F.lit(int(base))
+        )
+        new_map.write.mode("append").parquet(self._path("doc_map"))
+        _refresh("doc_map")
+        old = self.manifest("doc_map") or {}
+        report["stages"]["doc_map"] = self._write_manifest(
+            "doc_map", t0, {"rows": old.get("rows", 0) + n_new,
+                            "appended": n_new}, [self._path("docs")]
+        )
+
+        t0 = time.time()
+        tf_new = term_frequencies(docs_tok, lang_col=lang)
+        g = self.cfg.index.n_shard_groups
+        tf_part = tf_new.join(
+            new_map.select("docid", "doc_ord", "dl"), "docid"
+        ).withColumn(
+            "shard_group", F.pmod(F.xxhash64("term"), F.lit(g)).cast("int")
+        )
+        obs = Observation()
+        tf_part.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "append"
+        ).partitionBy("shard_group").parquet(self._path("tf"))
+        _refresh("tf")
+        old = self.manifest("tf") or {}
+        report["stages"]["tf"] = self._write_manifest(
+            "tf", t0, {"rows": old.get("rows", 0) + obs.get["rows"],
+                       "appended": obs.get["rows"]},
+            ["<staged transcripts>", self._path("doc_map")],
+        )
+        import shutil
+
+        shutil.rmtree(delta_path, ignore_errors=True)
+
+        # invalidate the global stages, then reuse build()'s stats+postings
+        # path (docs/doc_map/tf are complete, so build() skips them and
+        # never touches the `transcripts` argument)
+        for stage in ["stats"] + [f"postings/group={i}" for i in range(g)]:
+            mpath = os.path.join(self._path(stage), MANIFEST)
+            if os.path.exists(mpath):
+                os.remove(mpath)
+        rebuilt = self.build(self.spark.createDataFrame([], "conv_id string"))
+        report["stages"].update(rebuilt["stages"])
+        report["total"] = rebuilt["total"]
+        return report
+
+    def _rollup(self, report: dict) -> dict:
         # roll-up manifest
         groups = [self.manifest(f"postings/group={g}") for g in
                   range(self.cfg.index.n_shard_groups)]

@@ -87,19 +87,78 @@ def assign_clusters(
     )
 
 
+def kmeans_cosine_train(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic seeded spherical k-means -> (centroid_id, embedding).
+
+    - init: the first k vectors in id order (seeded data => reproducible —
+      no RNG, which scripts can't use anyway);
+    - assignment: nearest centroid by cosine (assign_clusters' tie rule);
+    - update: per-dimension mean of the assigned vectors via
+      posexplode -> groupBy(cluster, dim) — map-side partial agg, shuffle of
+      n*d rows collapsing to k*d; the k*d means are collected to the driver
+      to form the next (broadcast-sized) centroid set, the same
+      driver-resident-centers contract as Spark ML KMeans. Cosine assignment
+      is scale-invariant, so the mean works as the spherical-mean update
+      without explicit renormalization.
+    - empty clusters keep their previous centroid.
+    """
+    spark = vectors.sparkSession
+    first = vectors.orderBy(id_col).limit(k).select(id_col, "embedding").collect()
+    cents = {
+        i: [float(x) for x in r["embedding"]] for i, r in enumerate(first)
+    }
+
+    def cent_df():
+        return spark.createDataFrame(
+            [(i, v) for i, v in sorted(cents.items())],
+            "centroid_id int, embedding array<double>",
+        )
+
+    for _ in range(max(0, iters)):
+        assigned = assign_clusters(vectors, cent_df(), id_col=id_col)
+        means = (
+            assigned.select(
+                "cluster", F.posexplode("embedding").alias("dim", "val")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        nxt: dict[int, list[float]] = {}
+        for r in means:
+            nxt.setdefault(int(r["cluster"]), [0.0] * len(first[0]["embedding"]))
+            nxt[int(r["cluster"])][int(r["dim"])] = float(r["m"])
+        for c, v in nxt.items():
+            cents[c] = v
+    return cent_df()
+
+
 def ivf_cosine_topk(
     vectors: DataFrame,
     probes: DataFrame,
     n_centroids: int = 8,
     n_probe: int = 2,
     k: int = 10,
+    train_iters: int = 3,
 ) -> DataFrame:
     """IVF-style ANN: search only the n_probe clusters nearest to each probe.
     -> (probe_id, rank, vec_id, cos). Approximate by construction; tests
-    measure recall against brute force rather than asserting equality."""
-    centroids = vectors.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), "embedding"
-    )
+    measure recall against brute force rather than asserting equality.
+
+    train_iters > 0 (default) trains the centroids with seeded k-means;
+    train_iters=0 keeps the raw first-n_centroids init (exactly reproducible
+    by a SQL oracle — the correctness-gate configuration)."""
+    if train_iters > 0:
+        centroids = kmeans_cosine_train(vectors, k=n_centroids, iters=train_iters)
+    else:
+        centroids = vectors.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
     assigned = assign_clusters(vectors, centroids)
     probe_clusters = (
         topk_per_group(
@@ -119,6 +178,71 @@ def ivf_cosine_topk(
     p = probes.select("probe_id", F.col("embedding").alias("p_emb"))
     scored = (
         assigned.join(probe_clusters, "cluster")
+        .join(F.broadcast(p), "probe_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("cos", F.round(cosine_expr(F.col("embedding"), F.col("p_emb")), 6))
+    )
+    return topk_per_group(scored, ["probe_id"], "cos", "vec_id", k).select(
+        "probe_id", "rank", "vec_id", "cos"
+    )
+
+
+def write_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    train_iters: int = 3,
+) -> None:
+    """Persist a cluster-partitioned IVF layout: vectors written
+    partitionBy(cluster) + the trained centroid table. At scale a probe scan
+    then reads only n_probe/n_centroids of the data — parquet PARTITION
+    pruning, not just row-group skipping."""
+    centroids = kmeans_cosine_train(vectors, k=n_centroids, iters=train_iters)
+    assigned = assign_clusters(vectors, centroids)
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{path.rstrip('/')}/vectors"
+    )
+    centroids.write.mode("overwrite").parquet(f"{path.rstrip('/')}/centroids")
+
+
+def search_ivf_index(
+    spark,
+    path: str,
+    probes: DataFrame,
+    n_probe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """Query a persisted IVF index -> (probe_id, rank, vec_id, cos).
+
+    The touched-cluster set (bounded by n_probes * n_probe) is collected and
+    applied as an explicit IN filter on the partition column — a STATIC
+    partition-pruned scan (visible as `PartitionFilters` in the plan),
+    independent of dynamic-partition-pruning heuristics."""
+    base = path.rstrip("/")
+    centroids = spark.read.parquet(f"{base}/centroids")
+    assigned = spark.read.parquet(f"{base}/vectors")
+    probe_clusters = (
+        topk_per_group(
+            probes.crossJoin(F.broadcast(centroids.select(
+                "centroid_id", F.col("embedding").alias("c_emb")
+            ))).withColumn(
+                "ccos", F.round(cosine_expr(F.col("embedding"), F.col("c_emb")), 6)
+            ),
+            ["probe_id"],
+            "ccos",
+            "centroid_id",
+            n_probe,
+            rank_col="crank",
+        )
+        .select("probe_id", F.col("centroid_id").alias("cluster"))
+    )
+    touched = sorted(
+        r["cluster"] for r in probe_clusters.select("cluster").distinct().collect()
+    )
+    pruned = assigned.filter(F.col("cluster").isin(touched))
+    p = probes.select("probe_id", F.col("embedding").alias("p_emb"))
+    scored = (
+        pruned.join(F.broadcast(probe_clusters), "cluster")
         .join(F.broadcast(p), "probe_id")
         .filter(F.col("vec_id") != F.col("probe_id"))
         .withColumn("cos", F.round(cosine_expr(F.col("embedding"), F.col("p_emb")), 6))

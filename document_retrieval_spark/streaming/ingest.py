@@ -62,6 +62,21 @@ def streaming_assemble_documents(
     )
 
 
+def stage_turns(stream: DataFrame, stage_path: str, checkpoint: str):
+    """Append raw turns to the staging table (parquet file sink, exactly-once
+    via the sink's own commit log). The batch half — IndexBuilder.compact —
+    periodically folds the staged conversations into the persisted index.
+    The staging contract is COMPLETE conversations; upstream that is what
+    streaming_assemble_documents' session-window watermark emits."""
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", stage_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def incremental_term_stats(
     stream: DataFrame,
     cfg: TokenizerConfig,

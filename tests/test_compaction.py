@@ -1,0 +1,107 @@
+"""Streaming delta -> index compaction (the batch half of the lambda,
+streaming/ingest.py module contract): stream N micro-batches of raw turns
+into the staging table, IndexBuilder.compact folds them in, and query
+results equal a cold batch build over the union corpus."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+
+from document_retrieval_spark.config import (
+    REFERENCE_PROFILE,
+    BM25Config,
+    EngineConfig,
+    IndexConfig,
+)
+from document_retrieval_spark.fixtures import (
+    gen_queries,
+    gen_transcripts,
+    transcripts_schema,
+)
+from document_retrieval_spark.index import IndexBuilder, load_index
+from document_retrieval_spark.query import prepare_query_terms
+from document_retrieval_spark.query.wand import wand_topk
+from document_retrieval_spark.streaming.ingest import stage_turns
+
+CFG = EngineConfig(
+    tokenizer=REFERENCE_PROFILE,
+    bm25=BM25Config(),
+    index=IndexConfig(n_shards=8, n_shard_groups=3, salt_df_threshold=10,
+                      block_size=16),
+)
+
+
+def _topk(spark, out, queries_df, k=10):
+    idx = load_index(spark, out)
+    qt = prepare_query_terms(queries_df, CFG.tokenizer, CFG.bm25)
+    res = wand_topk(qt, idx.postings, idx.doc_map, idx.coll, CFG.bm25, k=k)
+    return {
+        (r["query_id"], r["rank"]): (r["docid"], round(r["score"], 9))
+        for r in res.collect()
+    }
+
+
+def test_stream_compact_equals_cold_build(spark, tmp_path_factory):
+    # base corpus: conversations 0..59; three streamed batches add 60..89
+    all_tr = gen_transcripts(90, seed=77)
+    convs = sorted(all_tr["conv_id"].unique())
+    base = all_tr[all_tr["conv_id"].isin(convs[:60])]
+    deltas = [
+        all_tr[all_tr["conv_id"].isin(convs[60 + 10 * i:60 + 10 * (i + 1)])]
+        for i in range(3)
+    ]
+    queries = gen_queries(all_tr, 30, seed=78)
+    qdf = spark.createDataFrame(queries[["query_id", "query"]])
+
+    out_inc = str(tmp_path_factory.mktemp("idx_inc"))
+    out_cold = str(tmp_path_factory.mktemp("idx_cold"))
+    src = str(tmp_path_factory.mktemp("turn_src"))
+    stage = str(tmp_path_factory.mktemp("stage")) + "/turns"
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+
+    builder = IndexBuilder(spark, CFG, out_inc)
+    builder.build(spark.createDataFrame(base, schema=transcripts_schema()))
+
+    # stream the deltas: drop 3 batch files, run the availableNow file-source
+    # query into the staging table after each drop
+    schema = transcripts_schema()
+    for i, d in enumerate(deltas):
+        spark.createDataFrame(d, schema=schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stage_turns(stream, stage, ckpt)
+        q.awaitTermination(300)
+
+    staged = spark.read.parquet(stage)
+    assert staged.count() == sum(len(d) for d in deltas)
+
+    report = builder.compact(staged)
+    assert report["stages"]["docs"]["appended"] == 30
+    assert report["total"]["postings_written"] > 0
+
+    # compacting the SAME staging table again is a no-op on docs (anti-join)
+    report2 = builder.compact(staged)
+    assert report2["stages"]["docs"]["appended"] == 0
+
+    # cold build over the union corpus
+    IndexBuilder(spark, CFG, out_cold).build(
+        spark.createDataFrame(all_tr, schema=schema)
+    )
+
+    got, want = _topk(spark, out_inc, qdf), _topk(spark, out_cold, qdf)
+    assert set(got) == set(want)
+    mism = {k: (got[k], want[k]) for k in want if got[k][0] != want[k][0]
+            or not math.isclose(got[k][1], want[k][1], rel_tol=1e-9)}
+    assert not mism, mism
+
+    # stats reflect the union corpus (N = 90 docs)
+    idx = load_index(spark, out_inc)
+    assert idx.coll.collect()[0]["n_docs"] == 90
+    assert idx.doc_map.count() == 90
+    # ordinals stay dense + unique after append
+    ords = [r["doc_ord"] for r in idx.doc_map.select("doc_ord").collect()]
+    assert sorted(ords) == list(range(90))

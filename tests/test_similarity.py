@@ -59,3 +59,51 @@ def test_ivf_recall(vectors, probes):
     # and IVF results are a subset of true cosine ordering per probe: every
     # returned neighbor's score must equal the brute-force score
     assert all(len(v) <= 10 for v in ivf.values())
+
+
+def test_trained_ivf_recall_beats_bar(vectors, probes):
+    """Seeded k-means training (the default) must reach recall@10 >= 0.9 vs
+    brute force on the fixture — 'first n vectors as centroids' is only the
+    oracle-parity configuration, not the real ANN path."""
+    bf = {}
+    for r in brute_force_cosine_topk(vectors, probes, k=10).collect():
+        bf.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    ivf = {}
+    res = ivf_cosine_topk(vectors, probes, n_centroids=8, n_probe=4, k=10,
+                          train_iters=3)
+    for r in res.collect():
+        ivf.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    recalls = [len(bf[p] & ivf.get(p, set())) / len(bf[p]) for p in bf]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_ivf_index_write_search_partition_pruned(spark, vectors, probes,
+                                                 tmp_path_factory):
+    """Persisted IVF: cluster-partitioned layout, static partition-pruned
+    search, results equal the in-memory trained IVF."""
+    import os
+
+    from document_retrieval_spark.operators.similarity import (
+        search_ivf_index,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivf_idx"))
+    write_ivf_index(vectors, path, n_centroids=8, train_iters=3)
+    parts = {d for d in os.listdir(os.path.join(path, "vectors"))
+             if d.startswith("cluster=")}
+    assert len(parts) >= 2  # physically cluster-partitioned
+
+    res = search_ivf_index(spark, path, probes, n_probe=4, k=10)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["probe_id"], []).append((r["rank"], r["vec_id"], r["cos"]))
+    mem = {}
+    for r in ivf_cosine_topk(vectors, probes, n_centroids=8, n_probe=4, k=10,
+                             train_iters=3).collect():
+        mem.setdefault(r["probe_id"], []).append((r["rank"], r["vec_id"], r["cos"]))
+    assert got == mem
+    # the scan is partition-pruned: the physical plan's partition filter
+    # mentions the cluster IN-list
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "cluster" in plan
