@@ -105,6 +105,42 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
 """
 
 
+def _bm25_variant_sql(query_terms_dl: bool) -> str:
+    """SQL twin for BM25 variants 3/5 (SURVEY §2.9): idf without the +1 (can
+    go negative), standard b*dl/avgdl, query terms looped WITH duplicates;
+    variant 3 additionally defines dl as the doc's tf summed over the
+    query's matched terms only."""
+    dl_expr = (
+        "CAST(sum(tf) OVER (PARTITION BY query_id, doc_id) AS DOUBLE)"
+        if query_terms_dl
+        else "CAST(dl AS DOUBLE)"
+    )
+    return f"""
+WITH {_TOKENS_CTE},
+coll AS (SELECT count(*) AS n_docs,
+                CAST(sum(len(toks)) AS DOUBLE)/count(*) AS avgdl FROM docs),
+stats AS (SELECT term, count(*) AS df,
+                 ln((( SELECT n_docs FROM coll) - count(*) + 0.5)
+                    / (count(*) + 0.5)) AS idf
+          FROM tf GROUP BY term),
+qterms AS (SELECT query_id, unnest({TOK.format(col='qtext')}) AS term
+           FROM (VALUES {_QUERY_VALUES}) q(query_id, qtext)),
+joined AS (SELECT qt.query_id, tf.doc_id, tf.tf, tf.dl, s.idf
+           FROM tf JOIN qterms qt USING (term) JOIN stats s USING (term)),
+eff AS (SELECT query_id, doc_id, tf, idf, {dl_expr} AS dl_eff FROM joined),
+scored AS (SELECT query_id, doc_id,
+                  round(sum(idf * tf * ({K1} + 1.0)
+                            / (tf + {K1} * (1.0 - {B} + {B} * dl_eff
+                               / (SELECT avgdl FROM coll)))), 6) AS score
+           FROM eff GROUP BY query_id, doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+           FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+"""
+
+
 _SHINGLE_CTE = f"""
   docs AS (SELECT doc_id, {TOK.format(col='text')} AS toks FROM documents),
   sh AS (SELECT DISTINCT doc_id, shingle FROM (
@@ -185,6 +221,8 @@ FROM tf GROUP BY term
 """,
         "bm25_topk": _bm25_sql(K1, B, standard=False),
         "bm25_topk_standard": _bm25_sql(K1, B, standard=True),
+        "bm25_topk_v3": _bm25_variant_sql(query_terms_dl=True),
+        "bm25_topk_v5": _bm25_variant_sql(query_terms_dl=False),
         "bm25_per_lang_topk": f"""
 WITH {_TOKENS_CTE},
 coll AS (SELECT lang, count(*) AS n_docs,
@@ -936,6 +974,69 @@ def _q_doc_fingerprint(spark, sf_dir):
     )
 
 
+def _bm25_variant_ranked(spark, sf_dir, dl_mode: str):
+    """BM25 variants 3 ('query_terms' dl) and 5 ('full' dl) — SURVEY §2.9:
+    idf WITHOUT the +1 (negative for df > N/2 — exhaustive scorer only, WAND
+    bounds don't hold), standard b*dl/avgdl, duplicate query terms each
+    scored (the reference's literal `for term in query` loops,
+    `cosine_similarity_bm25_reranking.py:185-195`,
+    `text_preprocessing_and_stopwords_setup.py:178-188`)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from document_retrieval_spark.config import SQL_SAFE_PROFILE, BM25Config
+    from document_retrieval_spark.operators.topk import topk_per_group
+    from document_retrieval_spark.query.bm25 import prepare_query_terms
+
+    bm25 = BM25Config(length_norm="standard", idf_plus_one=False,
+                      unique_query_terms=False, dl_mode=dl_mode)
+    tf = _tf_table(spark, sf_dir)
+    docs = _tok_docs(spark, sf_dir)
+    agg = docs.agg(
+        F.count("*").alias("n"), F.sum(F.size("toks")).alias("s")
+    ).collect()[0]
+    n_docs, avgdl = agg["n"], float(agg["s"]) / agg["n"]
+    stats = tf.groupBy("term").agg(F.count("*").alias("df")).withColumn(
+        "idf",
+        F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+    )
+    qt = prepare_query_terms(_query_df(spark), SQL_SAFE_PROFILE, bm25)
+    joined = tf.join(F.broadcast(qt), "term").join(
+        F.broadcast(stats.select("term", "idf")), "term"
+    )
+    dl_eff = F.col("dl").cast("double")
+    if dl_mode == "query_terms":
+        w = Window.partitionBy("query_id", "doc_id")
+        dl_eff = F.sum("tf").over(w).cast("double")
+    joined = joined.withColumn("dl_eff", dl_eff)
+    term_score = (
+        F.col("idf")
+        * F.col("tf").cast("double")
+        * F.lit(bm25.k1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(bm25.k1)
+            * (F.lit(1.0 - bm25.b) + F.lit(bm25.b) * F.col("dl_eff") / F.lit(avgdl))
+        )
+    )
+    scored = (
+        joined.withColumn("term_score", term_score)
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+    )
+    return topk_per_group(scored, ["query_id"], "score", "doc_id", k=10).select(
+        "query_id", "rank", "doc_id", "score"
+    )
+
+
+def _q_bm25_topk_v3(spark, sf_dir):
+    return _bm25_variant_ranked(spark, sf_dir, dl_mode="query_terms")
+
+
+def _q_bm25_topk_v5(spark, sf_dir):
+    return _bm25_variant_ranked(spark, sf_dir, dl_mode="full")
+
+
 def _q_bm25_topk_stemmed(spark, sf_dir):
     """BM25 top-10 over a PORTER-STEMMED pipeline (F4c,
     `text_preprocessing_and_tfidf.py:29`), hermetic pure-Python stemmer
@@ -992,6 +1093,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_standard": _q_bm25_topk_standard,
         "bm25_topk_stemmed": _q_bm25_topk_stemmed,
+        "bm25_topk_v3": _q_bm25_topk_v3,
+        "bm25_topk_v5": _q_bm25_topk_v5,
         "bm25_per_lang_topk": _q_bm25_per_lang_topk,
         "cosine_topk": _q_cosine_topk,
         "bm25_submission": _q_bm25_submission,

@@ -108,7 +108,6 @@ def _build_and_query(spark, tr_pdf, q_pdf, k=10):
     )
     from document_retrieval_spark.operators.stats import (
         build_term_stats,
-        collection_stats,
         term_frequencies,
         tokenize_documents,
     )
@@ -121,14 +120,21 @@ def _build_and_query(spark, tr_pdf, q_pdf, k=10):
     queries = spark.createDataFrame(q_pdf[["query_id", "query"]])
 
     t0 = time.time()
-    # tokenize+assemble ONCE, persisted — every downstream stage reuses it
+    # tokenize ONCE and persist only the COLLAPSED tf long form — caching the
+    # token arrays themselves (the previous design) held ~23M strings per
+    # 10^6 turns in executor memory and put every downstream stage at the
+    # mercy of GC; dl and all collection stats derive from tf (dl = sum of
+    # tf over a doc's terms — the reference's own definition, SURVEY A5)
     docs = tokenize_documents(assemble_documents(transcripts), REFERENCE_PROFILE)
-    docs = docs.persist()
+    tf = term_frequencies(docs).persist()
+    dls = tf.groupBy("docid").agg(F.sum("tf").cast("int").alias("dl"))
     # lazy persists — the single postings action below materializes the DAG
     # once (extra .count() actions each cost a full job of scheduler floor)
-    docs_ord = assign_doc_ordinals(docs.select("docid", "dl")).persist()
-    tf = term_frequencies(docs)
-    coll = collection_stats(docs).persist()
+    docs_ord = assign_doc_ordinals(dls).persist()
+    coll = docs_ord.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    ).persist()
     stats = build_term_stats(tf, coll)
     postings = build_postings(
         tf.join(docs_ord, "docid"), stats,
@@ -144,11 +150,23 @@ def _build_and_query(spark, tr_pdf, q_pdf, k=10):
     n_res = res.count()
     query_sec = time.time() - t0
     assert n_res > 0 and n_post > 0
-    # persist tf/stats so the downstream headline queries (exhaustive/cosine)
-    # don't recompute them per action
-    tf = tf.persist()
+    # persist stats so the downstream headline queries (exhaustive/cosine)
+    # don't recompute them per action (tf is already persisted)
     stats = stats.persist()
-    return build_sec, query_sec, docs_ord, coll, postings, stats, tf, docs
+    return build_sec, query_sec, docs_ord, coll, postings, stats, tf
+
+
+# shared bench session tuning:
+# - the corpus is a directory of 32 small files: lower the split size so the
+#   scan parallelizes instead of coalescing into 1-2 input partitions;
+# - the encode UDF's input rows are FLAT primitives (sort-based assembly), so
+#   Arrow batches can be large; the engine-wide 256 default protects paths
+#   whose rows carry whole posting arrays (decode), not this one
+_BENCH_CONF = {
+    "spark.sql.files.maxPartitionBytes": "4m",
+    "spark.sql.files.openCostInBytes": "0",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
+}
 
 
 def _probe(cores: int, n_conv: int) -> dict:
@@ -159,13 +177,7 @@ def _probe(cores: int, n_conv: int) -> dict:
     spark = get_spark(
         f"bench_probe_{cores}", master=f"local[{cores}]",
         shuffle_partitions=max(cores * 2, 8),
-        extra_conf={
-            # the corpus is a directory of 32 small files: lower the split
-            # size so the scan parallelizes instead of coalescing into 1-2
-            # input partitions
-            "spark.sql.files.maxPartitionBytes": "4m",
-            "spark.sql.files.openCostInBytes": "0",
-        },
+        extra_conf=_BENCH_CONF,
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
     b, q, *_ = _build_and_query(spark, tr_pdf, q_pdf)
@@ -230,8 +242,9 @@ def main() -> int:
     from document_retrieval_spark.session import get_spark
 
     spark = get_spark("bench_main", master=f"local[{SCALE_N * 4}]",
-                      shuffle_partitions=max(SCALE_N * 8, 16))
-    b_main, q_main, docs_ord, coll, postings, stats, tf, docs = _build_and_query(
+                      shuffle_partitions=max(SCALE_N * 8, 16),
+                      extra_conf=_BENCH_CONF)
+    b_main, q_main, docs_ord, coll, postings, stats, tf = _build_and_query(
         spark, tr_pdf, q_pdf
     )
     queries_sec["index_build"] = round(b_main, 3)
@@ -273,7 +286,7 @@ def main() -> int:
 
     t0 = time.time()
     bm25_score_exhaustive(
-        qt, tf, stats, docs.select("docid", "dl"), bm25, k=10
+        qt, tf, stats, docs_ord.select("docid", "dl"), bm25, k=10
     ).count()
     queries_sec["bm25_exhaustive"] = round(time.time() - t0, 3)
 

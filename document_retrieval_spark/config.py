@@ -87,6 +87,16 @@ class BM25Config:
     length_norm: str = "reference"
     # Each distinct query term scored once (set(query), `cell 3:29`).
     unique_query_terms: bool = True
+    # idf = ln(1 + ratio) (variants 1/2/4) vs ln(ratio), which goes NEGATIVE
+    # for df > N/2 (variants 3/5, `cosine_similarity_bm25_reranking.py:178`,
+    # `text_preprocessing_and_stopwords_setup.py:172`). Negative idf breaks
+    # WAND's non-negative upper bounds — variants 3/5 score via the
+    # exhaustive join scorer only.
+    idf_plus_one: bool = True
+    # "full": dl = doc token count; "query_terms": dl = sum of the doc's tf
+    # over the QUERY's terms only — variant 3's quirk
+    # (`cosine_similarity_bm25_reranking.py:187`).
+    dl_mode: str = "full"
 
     def length_factor(self, dl: float, avgdl: float) -> float:
         rel = dl / avgdl

@@ -73,10 +73,16 @@ def collection_stats(tok_docs: DataFrame, lang_col: str | None = None) -> DataFr
 
 
 def build_term_stats(
-    tf: DataFrame, coll: DataFrame, lang_col: str | None = None
+    tf: DataFrame,
+    coll: DataFrame,
+    lang_col: str | None = None,
+    idf_plus_one: bool = True,
 ) -> DataFrame:
     """A2+A3: (term[, lang], df, idf) with
-    idf = ln(1 + (N - df + 0.5)/(df + 0.5))  (`cell 3:24-25`, variant 1).
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5))  (`cell 3:24-25`, variant 1), or
+    the no-+1 form ln((N - df + 0.5)/(df + 0.5)) of variants 3/5
+    (`cosine_similarity_bm25_reranking.py:178`) when idf_plus_one=False —
+    negative for df > N/2, hence exhaustive-scorer-only.
 
     `coll` is tiny (one row per language) — broadcast join, no shuffle on the
     big side beyond the df agg itself.
@@ -88,6 +94,7 @@ def build_term_stats(
     else:
         joined = df_tbl.crossJoin(F.broadcast(coll))
     n = F.col("n_docs").cast("double")
+    ratio = (n - F.col("df") + 0.5) / (F.col("df") + 0.5)
     return joined.withColumn(
-        "idf", F.log1p((n - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        "idf", F.log1p(ratio) if idf_plus_one else F.log(ratio)
     )

@@ -74,7 +74,15 @@ def bm25_score_exhaustive(
     k: int = 10,
     lang_col: str | None = None,
 ) -> DataFrame:
-    """-> (query_id, rank, docid, score) top-k per query."""
+    """-> (query_id, rank, docid, score) top-k per query.
+
+    bm25.dl_mode="query_terms" (variant 3,
+    `cosine_similarity_bm25_reranking.py:187`) replaces dl with the
+    query-dependent sum of the doc's tf over the query's matched terms — a
+    window sum over the already-joined (query_id, docid) group, no extra
+    join. Variant 5's "idf inside the numerator"
+    (`text_preprocessing_and_stopwords_setup.py:185-187`) is algebraically
+    identical to idf * quotient, so it needs no separate form."""
     join_keys = ["term"] + ([lang_col] if lang_col else [])
     stats_cols = join_keys + ["idf", "avgdl"]
     candidates = (
@@ -82,6 +90,11 @@ def bm25_score_exhaustive(
         .join(F.broadcast(term_stats.select(*stats_cols)), join_keys)
         .join(doc_stats.select("docid", "dl"), "docid")
     )
+    if bm25.dl_mode == "query_terms":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id", "docid")
+        candidates = candidates.withColumn("dl", F.sum("tf").over(w))
     scored = (
         candidates.withColumn("term_score", bm25_term_score(bm25))
         .groupBy("query_id", "docid")
