@@ -218,6 +218,7 @@ def wand_topk(
     k: int = 10,
     lang_col: str | None = None,
     terms: list[str] | None = None,
+    max_pushdown_terms: int = 50_000,
 ) -> DataFrame:
     """-> (query_id, rank, docid, score).
 
@@ -244,9 +245,12 @@ def wand_topk(
     if terms is None:
         terms = [
             r["term"]
-            for r in query_terms.select("term").distinct().limit(50_001).collect()
+            for r in query_terms.select("term")
+            .distinct()
+            .limit(max_pushdown_terms + 1)
+            .collect()
         ]
-    if len(terms) <= 50_000:
+    if len(terms) <= max_pushdown_terms:
         postings = postings.filter(F.col("term").isin(list(terms)))
     else:
         # huge batch: broadcast semi-join prune instead of a 50k-literal IN

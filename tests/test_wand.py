@@ -123,3 +123,16 @@ def test_wand_explicit_term_list_short_circuits_collect(built, queries_df):
         wand_topk(qt, postings, docs_ord, coll, bm25, k=K, terms=terms)
     )
     assert a == b
+
+
+def test_wand_semijoin_prune_above_pushdown_cap(built, queries_df):
+    """Above max_pushdown_terms the IN-literal pushdown is replaced by a
+    broadcast semi-join prune (NOT no pruning at all); results identical."""
+    docs, docs_ord, tf, coll, stats, postings = built
+    bm25 = BM25Config()
+    qt = prepare_query_terms(queries_df, REFERENCE_PROFILE, bm25)
+    a = _collect_topk(wand_topk(qt, postings, docs_ord, coll, bm25, k=K))
+    b = _collect_topk(
+        wand_topk(qt, postings, docs_ord, coll, bm25, k=K, max_pushdown_terms=2)
+    )
+    assert a == b
