@@ -43,6 +43,7 @@ from ..operators.stats import (
     build_term_stats,
     collection_stats,
     term_frequencies,
+    term_frequencies_from_turns,
     tokenize_documents,
 )
 
@@ -141,11 +142,18 @@ class IndexBuilder:
         report: dict = {"stages": {}, "skipped": []}
         self._drop_stale_groups()
 
-        # tokenize+assemble ONCE per build invocation; the docs and tf stages
-        # share this DataFrame (tokens are not persisted to disk — the token
-        # arrays are bigger than the tf long form they produce, so resume
-        # re-tokenizes instead of re-reading)
+        # Tokenization strategy, ONE tokenize pass either way:
+        # - fast path (non-bigram configs): TURN-LOCAL tokenize -> one-shuffle
+        #   tf (term_frequencies_from_turns). The raw conversation text never
+        #   shuffles, no token arrays are cached — only the collapsed
+        #   (docid, term, tf) long form persists; doc lengths derive from it
+        #   (dl = sum of tf, the reference's own A5 definition) and the docs
+        #   stage becomes a text-free metadata aggregate.
+        # - bigram configs: bigrams span turn boundaries, so assemble +
+        #   tokenize the full documents and share that frame between stages.
+        turn_local = not self.cfg.tokenizer.bigrams
         docs_tok: DataFrame | None = None
+        tf_raw: DataFrame | None = None
 
         def get_docs_tok() -> DataFrame:
             nonlocal docs_tok
@@ -156,13 +164,38 @@ class IndexBuilder:
                 ).persist()
             return docs_tok
 
+        def get_tf_raw() -> DataFrame:
+            nonlocal tf_raw
+            if tf_raw is None:
+                tf_raw = term_frequencies_from_turns(
+                    transcripts, self.cfg.tokenizer, lang_col=lang
+                ).persist()
+            return tf_raw
+
         doc_cols = ["docid", "dl", "n_turns", "first_ts", "last_ts"] + (
             [lang] if lang else []
         )
         if not self._complete("docs"):
             t0 = time.time()
+            if turn_local:
+                keys = ["conv_id"] + ([lang] if lang else [])
+                meta = (
+                    transcripts.groupBy(*keys)
+                    .agg(
+                        F.count("*").alias("n_turns"),
+                        F.min("ts").alias("first_ts"),
+                        F.max("ts").alias("last_ts"),
+                    )
+                    .withColumnRenamed("conv_id", "docid")
+                )
+                dls = get_tf_raw().groupBy("docid").agg(
+                    F.sum("tf").cast("int").alias("dl")
+                )
+                docs_src = meta.join(dls, "docid", "left").na.fill({"dl": 0})
+            else:
+                docs_src = get_docs_tok()
             obs = Observation()
-            get_docs_tok().select(*doc_cols).observe(
+            docs_src.select(*doc_cols).observe(
                 obs, F.count(F.lit(1)).alias("rows")
             ).write.mode("overwrite").parquet(self._path("docs"))
             report["stages"]["docs"] = self._write_manifest(
@@ -191,7 +224,10 @@ class IndexBuilder:
 
         if not self._complete("tf"):
             t0 = time.time()
-            tf = term_frequencies(get_docs_tok(), lang_col=lang)
+            if turn_local:
+                tf = get_tf_raw()
+            else:
+                tf = term_frequencies(get_docs_tok(), lang_col=lang)
             doc_map = self.spark.read.parquet(self._path("doc_map"))
             g = self.cfg.index.n_shard_groups
             tf_part = tf.join(doc_map.select("docid", "doc_ord", "dl"), "docid").withColumn(
@@ -232,6 +268,8 @@ class IndexBuilder:
 
         if docs_tok is not None:
             docs_tok.unpersist()
+        if tf_raw is not None:
+            tf_raw.unpersist()
 
         fault_after = int(os.environ.get("FAULT_AFTER_SHARD", "-1"))
         stats_b = self.spark.read.parquet(self._path("stats/terms"))

@@ -56,6 +56,51 @@ def term_frequencies(tok_docs: DataFrame, lang_col: str | None = None) -> DataFr
     )
 
 
+def term_frequencies_from_turns(
+    transcripts: DataFrame,
+    cfg: TokenizerConfig,
+    lang_col: str | None = None,
+) -> DataFrame:
+    """A1 computed TURN-LOCALLY: (docid[, lang], term, tf) with ONE shuffle.
+
+    For whitespace tokenizers without bigrams (separator is a space and no
+    token can span a turn boundary), tokenization distributes over turns:
+    tokenize(turn_1 + " " + turn_2) == tokenize(turn_1) ++ tokenize(turn_2).
+    So tf per conversation needs NO document assembly at all — tokenize each
+    turn where it sits, explode, and hash-aggregate on (conv_id, term): the
+    map-side partial agg collapses before the only shuffle, which carries
+    (docid, term, tf) instead of the raw conversation text. At transcript
+    scale this removes the full-text shuffle (the assemble groupBy) from the
+    index build's critical path; tests assert exact equality with the
+    assemble->tokenize path.
+
+    Bigram configs DO cross turn boundaries — they must use the assembled
+    path (raises to prevent silent semantic drift). Turn order is irrelevant
+    here because tf is order-free; dl = sum(tf) per doc (SURVEY A5, variant-1
+    dl definition).
+    """
+    if cfg.bigrams:
+        raise ValueError(
+            "bigrams span turn boundaries: use assemble_documents + "
+            "tokenize_documents + term_frequencies"
+        )
+    if cfg.lemmatize or cfg.stem_lang:
+        from ..functions.text import tokenize_pandas_udf
+
+        tok = tokenize_pandas_udf(cfg)(F.col("text"))
+    else:
+        tok = tokenize_expr(F.col("text"), cfg)
+    keys = [F.col("conv_id").alias("docid")] + (
+        [F.col(lang_col)] if lang_col else []
+    )
+    key_names = ["docid"] + ([lang_col] if lang_col else [])
+    return (
+        transcripts.select(*keys, F.explode(tok).alias("term"))
+        .groupBy(*key_names, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
 def doc_stats(tok_docs: DataFrame, lang_col: str | None = None) -> DataFrame:
     keys = ["docid"] + ([lang_col] if lang_col else [])
     return tok_docs.select(*keys, "dl")

@@ -69,3 +69,40 @@ def test_df_equals_distinct_doc_term_pairs(engine_tables):
     total_df = stats.agg(F.sum("df")).collect()[0][0]
     pairs = tf.select("docid", "term").distinct().count()
     assert total_df == pairs
+
+
+def test_turn_local_tf_equals_assembled_tf(spark, transcripts_df):
+    """term_frequencies_from_turns (one-shuffle, no text assembly) must be
+    row-identical to the assemble -> tokenize -> term_frequencies path for
+    non-bigram whitespace profiles."""
+    from document_retrieval_spark.operators import assemble_documents
+    from document_retrieval_spark.operators.stats import (
+        term_frequencies,
+        term_frequencies_from_turns,
+        tokenize_documents,
+    )
+
+    want = {
+        (r["docid"], r["term"]): r["tf"]
+        for r in term_frequencies(
+            tokenize_documents(
+                assemble_documents(transcripts_df), REFERENCE_PROFILE
+            )
+        ).collect()
+    }
+    got = {
+        (r["docid"], r["term"]): r["tf"]
+        for r in term_frequencies_from_turns(
+            transcripts_df, REFERENCE_PROFILE
+        ).collect()
+    }
+    assert got == want and len(got) > 100
+
+    import pytest as _pytest
+
+    from document_retrieval_spark.config import TokenizerConfig
+
+    with _pytest.raises(ValueError, match="bigrams"):
+        term_frequencies_from_turns(
+            transcripts_df, TokenizerConfig(bigrams=True)
+        )
