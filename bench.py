@@ -314,6 +314,7 @@ def main() -> int:
         spark_speedup = tn / t4
         alu = r4["host_alu"] / max(rn["host_alu"], 1)
         mem = r4["host_mem"] / max(rn["host_mem"], 1)
+        blend = (alu * mem) ** 0.5
         pairs.append(
             {
                 "spark_speedup": round(spark_speedup, 3),
@@ -322,6 +323,10 @@ def main() -> int:
                 "efficiency_raw": round(spark_speedup / 4.0, 3),
                 "efficiency_vs_host_mem": round(spark_speedup / mem, 3)
                 if mem > 0 else None,
+                "efficiency_vs_host_alu": round(spark_speedup / alu, 3)
+                if alu > 0 else None,
+                "efficiency_vs_host_blend": round(spark_speedup / blend, 3)
+                if blend > 0 else None,
             }
         )
     extras["scaling"] = {
