@@ -52,10 +52,26 @@ SCALING_CONVS = int(os.environ.get("BENCH_SCALING_CONVS", "160000"))
 
 
 def _mk_corpus(n_conv: int = None):
+    """Deterministic corpus + queries, CACHED on disk keyed by size/seeds:
+    every probe runs in its own subprocess and would otherwise regenerate
+    the scaling corpus (~2 min of driver-side pandas per probe)."""
+    import tempfile
+
+    import pandas as pd
+
+    n_conv = n_conv or N_CONV
+    base = os.path.join(tempfile.gettempdir(), f"bench_corpus_{n_conv}_s42q43")
+    tr_p, q_p = base + "_tr.parquet", base + "_q.parquet"
+    if os.path.exists(tr_p) and os.path.exists(q_p):
+        return pd.read_parquet(tr_p), pd.read_parquet(q_p)
     from document_retrieval_spark.fixtures import gen_queries, gen_transcripts
 
-    tr = gen_transcripts(n_conv or N_CONV, seed=42)
+    tr = gen_transcripts(n_conv, seed=42)
     q = gen_queries(tr, N_QUERIES, seed=43)
+    for df, path in ((tr, tr_p), (q, q_p)):
+        df.to_parquet(path + ".tmp", index=False, coerce_timestamps="us",
+                      allow_truncated_timestamps=True)
+        os.replace(path + ".tmp", path)
     return tr, q
 
 
@@ -279,7 +295,7 @@ def main() -> int:
     # the sandbox host shows up to 3x run-to-run noise on identical work, so
     # each parallelism level is sampled R times alternately and the MIN
     # (least-interference window) is reported ----
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "2"))
     runs_n, runs_4n = [], []
     for _ in range(reps):
         runs_n.append(_probe_subprocess(SCALE_N, SCALING_CONVS))
