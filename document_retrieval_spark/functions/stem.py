@@ -182,11 +182,11 @@ def _step5b(w: str) -> str:
 
 
 def porter_stem(word: str) -> str:
-    """Stem one lowercase-insensitive token (case is lowered internally only
-    for rule matching decisions when the token is already lowercase ASCII;
-    non-alpha tokens pass through untouched, matching nltk's behavior of
-    operating on whatever string it is given)."""
-    w = word
+    """Stem one token. The word is lowercased first — nltk's
+    `PorterStemmer.stem(word, to_lowercase=True)` default, which the
+    reference relies on; the rule tables are defined over lowercase ASCII.
+    Words of length <= 2 pass through (the algorithm's own guard)."""
+    w = word.lower()
     if len(w) <= 2:
         return w
     w = _step1a(w)

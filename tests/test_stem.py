@@ -179,3 +179,9 @@ def test_stemmed_bm25_rank_identity(spark):
     plain = TokenizerConfig(lowercase=True)
     oidx_plain = build_oracle_index(list(corpus.items()), plain)
     assert oracle_topk(oidx_plain, queries["q_run"], plain, bm25, k=10) == []
+
+
+def test_porter_lowercases_like_nltk_default():
+    assert S.porter_stem("Running") == "run"
+    assert S.porter_stem("GENERALIZATIONS") == "gener"
+    assert S.porter_stem("It") == "it"  # <=2 chars: lowercased, no rules
