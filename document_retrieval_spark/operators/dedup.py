@@ -213,13 +213,26 @@ def minhash_near_dupes(
     n_hashes: int = 16,
     rows_per_band: int = 4,
     threshold: float = 0.5,
+    cache: bool = True,
 ) -> DataFrame:
     """Full MinHash+LSH pipeline: shingle -> sign -> band -> bucket-join ->
-    verify -> (doc_a, doc_b, jaccard >= threshold)."""
+    verify -> (doc_a, doc_b, jaccard >= threshold).
+
+    The shingle set feeds FIVE consumers (dictionary, signatures, the verify
+    join's two sides and the size table); without materialization Catalyst
+    re-tokenizes and re-shingles the corpus once per consumer (measured: 19
+    parquet scans, 0 reused exchanges in one plan). `cache=True` persists the
+    shingle and candidate stages — at corpus scale these would be staged to
+    parquet between jobs (the IndexBuilder pattern); in-memory persist is
+    the single-job equivalent."""
     sh = shingles(docs, k=k)
+    if cache:
+        sh = sh.persist()
     dictionary = shingle_dictionary(sh)
     sig = minhash_signatures(sh, dictionary, n_hashes=n_hashes)
     cand = lsh_candidate_pairs(lsh_bands(sig, rows_per_band))
+    if cache:
+        cand = cand.persist()
     return jaccard_pairs(sh, cand).filter(F.col("jaccard") >= threshold)
 
 
