@@ -394,6 +394,32 @@ def main() -> int:
     cosine_topk(qt, tf, stats, k=10).count()
     queries_sec["cosine_topk"] = round(time.time() - t0, 3)
 
+    # ---- single-query latency distribution (BASELINE metric names "query
+    # p95 latency"): one WAND top-10 at a time over the persisted-in-memory
+    # index, per-query wall clock incl. scheduling. The distinct term list is
+    # derived driver-side from the (local) query string, so each call is the
+    # scan+join+kernel, not a collect round-trip ----
+    from document_retrieval_spark.oracle import oracle_tokenize
+    from document_retrieval_spark.query.wand import wand_topk as _wand
+
+    lat = []
+    for _, row in q_pdf.head(30).iterrows():
+        q1 = spark.createDataFrame(
+            [(row["query_id"], row["query"])], ["query_id", "query"]
+        )
+        qt1 = prepare_query_terms(q1, REFERENCE_PROFILE, bm25)
+        terms1 = sorted(set(oracle_tokenize(row["query"], REFERENCE_PROFILE)))
+        t0 = time.time()
+        _wand(qt1, postings, docs_ord, coll, bm25, k=10, terms=terms1).count()
+        lat.append((time.time() - t0) * 1000)
+    lat.sort()
+    extras["query_latency_ms"] = {
+        "n": len(lat),
+        "p50": round(lat[len(lat) // 2], 1),
+        "p95": round(lat[int(len(lat) * 0.95) - 1], 1),
+        "max": round(lat[-1], 1),
+    }
+
     import __spark_entry__ as entry_mod
 
     for name in ("dedup_minhash_lsh", "ann_cosine_topk", "text_quality"):
