@@ -33,8 +33,14 @@ def _iceberg_available(spark: SparkSession) -> bool:
 def read_transcripts(spark: SparkSession, location: str) -> DataFrame:
     """Read the transcripts table from an Iceberg table name (`cat.db.tbl`)
     or a parquet path; asserts the authoritative input schema."""
+    from .snapshots import SnapshotTable, is_snapshot_table
+
     if "://" not in location and not location.startswith("/") and _iceberg_available(spark):
         df = spark.read.table(location)
+    elif is_snapshot_table(location):
+        # local Iceberg-style snapshot table (sources/snapshots.py): read
+        # the current snapshot's explicit file list
+        df = SnapshotTable(spark, location).read()
     elif location.endswith(".json"):
         # dev fallback mirroring the reference's corpus.json scan (S1)
         from ..fixtures.transcripts import transcripts_schema

@@ -1,0 +1,75 @@
+"""Iceberg-style snapshot layer (sources/snapshots.py): atomic appends,
+snapshot isolation, time travel — and the transcripts reader + IndexBuilder
+consuming a snapshot table end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+
+from document_retrieval_spark.fixtures import gen_transcripts, transcripts_schema
+from document_retrieval_spark.sources import (
+    SnapshotTable,
+    is_snapshot_table,
+    read_transcripts,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path_factory):
+    return SnapshotTable(spark, str(tmp_path_factory.mktemp("snap_tbl")))
+
+
+def test_commit_read_time_travel(spark, table):
+    tr = gen_transcripts(30, seed=11)
+    convs = sorted(tr["conv_id"].unique())
+    a = tr[tr["conv_id"].isin(convs[:20])]
+    b = tr[tr["conv_id"].isin(convs[20:])]
+    schema = transcripts_schema()
+
+    assert table.current_snapshot_id() is None
+    s1 = table.commit_append(spark.createDataFrame(a, schema=schema))
+    s2 = table.commit_append(spark.createDataFrame(b, schema=schema))
+    assert (s1, s2) == (1, 2)
+    assert table.current_snapshot_id() == 2
+
+    # current = union; time travel to s1 = first batch only
+    assert table.read().count() == len(tr)
+    assert table.read(snapshot_id=s1).count() == len(a)
+    # lineage + summaries
+    snaps = table.snapshots()
+    assert [s["id"] for s in snaps] == [1, 2]
+    assert snaps[1]["parent"] == 1
+    assert snaps[1]["summary"]["total_files"] > snaps[1]["summary"]["added_files"] or (
+        snaps[0]["summary"]["added_files"] > 0
+    )
+
+
+def test_snapshot_isolation(spark, table):
+    tr = gen_transcripts(20, seed=12)
+    schema = transcripts_schema()
+    table.commit_append(spark.createDataFrame(tr, schema=schema))
+    pinned = table.read()  # resolves snapshot 1's file list NOW
+    n1 = pinned.count()
+    table.commit_append(spark.createDataFrame(tr.assign(conv_id=tr.conv_id + "_b"),
+                                              schema=schema))
+    # the in-flight reader still sees snapshot 1; a fresh reader sees both
+    assert pinned.count() == n1
+    assert table.read().count() == 2 * n1
+
+
+def test_reader_and_builder_consume_snapshot_table(spark, table,
+                                                   tmp_path_factory):
+    from document_retrieval_spark.config import EngineConfig, IndexConfig
+    from document_retrieval_spark.index import IndexBuilder
+
+    tr = gen_transcripts(25, seed=13)
+    table.commit_append(spark.createDataFrame(tr, schema=transcripts_schema()))
+    assert is_snapshot_table(table.path)
+    df = read_transcripts(spark, table.path)
+    assert df.count() == len(tr)
+
+    cfg = EngineConfig(index=IndexConfig(n_shards=4, n_shard_groups=2,
+                                         salt_df_threshold=10))
+    out = str(tmp_path_factory.mktemp("snap_idx"))
+    report = IndexBuilder(spark, cfg, out).build(df)
+    assert report["total"]["postings_written"] > 0
