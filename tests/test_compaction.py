@@ -105,3 +105,42 @@ def test_stream_compact_equals_cold_build(spark, tmp_path_factory):
     # ordinals stay dense + unique after append
     ords = [r["doc_ord"] for r in idx.doc_map.select("doc_ord").collect()]
     assert sorted(ords) == list(range(90))
+
+
+def test_compact_per_language_index(spark, tmp_path_factory):
+    """Compaction composes with IndexConfig.lang_col: streamed conversations
+    fold into the per-language models and match a cold per-language build."""
+    cfg = EngineConfig(
+        tokenizer=REFERENCE_PROFILE,
+        bm25=BM25Config(),
+        index=IndexConfig(n_shards=8, n_shard_groups=2, salt_df_threshold=10,
+                          block_size=16, lang_col="lang"),
+    )
+    all_tr = gen_transcripts(60, seed=91, multilang=True)
+    convs = sorted(all_tr["conv_id"].unique())
+    base = all_tr[all_tr["conv_id"].isin(convs[:40])]
+    delta = all_tr[all_tr["conv_id"].isin(convs[40:])]
+    queries = gen_queries(all_tr, 20, seed=92)
+
+    out_inc = str(tmp_path_factory.mktemp("idx_inc_lang"))
+    out_cold = str(tmp_path_factory.mktemp("idx_cold_lang"))
+    b = IndexBuilder(spark, cfg, out_inc)
+    b.build(spark.createDataFrame(base))
+    rep = b.compact(spark.createDataFrame(delta))
+    assert rep["stages"]["docs"]["appended"] == 20
+    IndexBuilder(spark, cfg, out_cold).build(spark.createDataFrame(all_tr))
+
+    qdf = spark.createDataFrame(queries[["query_id", "query", "lang"]])
+
+    def topk_lang(out):
+        idx = load_index(spark, out)
+        qt = prepare_query_terms(qdf, cfg.tokenizer, cfg.bm25, lang_col="lang")
+        res = wand_topk(qt, idx.postings, idx.doc_map, idx.coll, cfg.bm25,
+                        k=10, lang_col="lang")
+        return {
+            (r["query_id"], r["rank"]): (r["docid"], round(r["score"], 9))
+            for r in res.collect()
+        }
+
+    got, want = topk_lang(out_inc), topk_lang(out_cold)
+    assert got == want and len(got) > 0
