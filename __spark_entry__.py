@@ -424,6 +424,36 @@ SELECT probe_id, CAST(row_number() OVER (PARTITION BY probe_id
         ORDER BY cos DESC, vec_id ASC) AS INT) AS rank, vec_id, cos
 FROM filtered QUALIFY rank <= 10
 """,
+        "dedup_embedding_pairs": f"""
+WITH v AS (SELECT vec_id, embedding, {_NORM.format(a='embedding')} AS nrm
+           FROM embeddings),
+cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb, nrm AS c_nrm
+          FROM v WHERE vec_id < 8),
+assigned AS (SELECT vec_id, centroid_id AS cluster FROM (
+    SELECT v.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+               round({_DOT.format(a='v.embedding', b='c.c_emb')}
+                     / (v.nrm * c.c_nrm), 6) DESC, c.centroid_id ASC) AS cr
+    FROM v, cents c) WHERE cr <= 2),
+pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM assigned a JOIN assigned b USING (cluster)
+          WHERE a.vec_id < b.vec_id),
+scored AS (SELECT p.vec_a, p.vec_b,
+                  round({_DOT.format(a='va.embedding', b='vb.embedding')}
+                        / (va.nrm * vb.nrm), 6) AS cos
+           FROM pairs p JOIN v va ON va.vec_id = p.vec_a
+                        JOIN v vb ON vb.vec_id = p.vec_b)
+SELECT vec_a, vec_b, cos FROM scored WHERE cos >= 0.45
+""",
+        "token_counts": f"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            x -> x <> '')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text,
+            '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+'))
+            AS BIGINT) AS bpe_tokens
+FROM documents
+""",
         "text_quality": f"""
 WITH t AS (SELECT doc_id, text,
                   list_filter(string_split_regex(trim(lower(text)), '\\s+'),
@@ -947,6 +977,35 @@ def _q_ann_ivf(spark, sf_dir):
                            train_iters=0)
 
 
+def _q_dedup_embedding(spark, sf_dir):
+    from document_retrieval_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    v = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    # train_iters=0: deterministic first-8 centroids the SQL twin replicates;
+    # the trained path is covered by tests/test_similarity.py
+    return embedding_near_dup_pairs(
+        v, threshold=0.45, n_centroids=8, n_assign=2, train_iters=0
+    )
+
+
+def _q_token_counts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from document_retrieval_spark.functions.analysis import (
+        bpe_ish_token_count,
+        token_count_expr,
+    )
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count_expr(F.col("text")).cast("bigint").alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("bigint").alias("bpe_tokens"),
+    )
+
+
 def _q_text_quality(spark, sf_dir):
     from document_retrieval_spark.functions.analysis import add_quality_columns
 
@@ -1110,6 +1169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": _q_simhash,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_ivf_topk": _q_ann_ivf,
+        "dedup_embedding_pairs": _q_dedup_embedding,
+        "token_counts": _q_token_counts,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,

@@ -36,6 +36,24 @@ def token_count_expr(col: Column) -> Column:
     return F.size(ws_tokens(col))
 
 
+# BPE-ish pre-tokenization pattern (the GPT-2 shape: contractions, letter
+# runs, digit runs, punctuation runs — each optionally space-prefixed),
+# restricted to syntax RE2 also supports (no lookahead) so the DuckDB oracle
+# counts identically. Whitespace itself is not a token.
+BPE_ISH_PATTERN = (
+    "'s|'t|'re|'ve|'m|'ll|'d|"
+    " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+)
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Approximate LLM-token count: matches of the BPE-ish pre-tokenizer
+    regex (a training-data pipeline budgets corpora in tokens, not words;
+    real BPE merges only subdivide these pre-tokens further, so the count is
+    a stable lower-bound proxy). JVM regex, whole-stage codegen — no UDF."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
 def add_quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality signals: length, token stats, punctuation density,
     stopword ratio. Ratios are rounded to 6dp so Spark and the SQL oracle hash

@@ -187,6 +187,54 @@ def ivf_cosine_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    vectors: DataFrame,    # (vec_id, embedding)
+    threshold: float = 0.9,
+    n_centroids: int = 8,
+    n_assign: int = 2,
+    train_iters: int = 0,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs -> (vec_a, vec_b, cos) with
+    cos >= threshold — the dense-vector member of the dedup family
+    (exact / MinHash / SimHash / Jaccard / embedding-cosine).
+
+    Scale shape: every vector is assigned to its n_assign nearest centroids
+    (multi-probe assignment — near-dup pairs have cosine ~1, so they share a
+    centroid except at cluster boundaries, which the second assignment
+    covers); pairs are generated only WITHIN a shared cluster, making the
+    join O(sum of cluster sizes squared), not O(n^2). train_iters=0 keeps
+    the deterministic first-n centroids an SQL oracle can replicate; the
+    trained path (kmeans_cosine_train) is the production setting.
+    """
+    if train_iters > 0:
+        centroids = kmeans_cosine_train(vectors, k=n_centroids, iters=train_iters)
+    else:
+        centroids = vectors.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        )
+    c = centroids.select("centroid_id", F.col("embedding").alias("c_emb"))
+    sim = vectors.crossJoin(F.broadcast(c)).withColumn(
+        "ccos", F.round(cosine_expr(F.col("embedding"), F.col("c_emb")), 6)
+    )
+    assigned = topk_per_group(
+        sim, ["vec_id"], "ccos", "centroid_id", n_assign, rank_col="crank"
+    ).select("vec_id", "embedding", F.col("centroid_id").alias("cluster"))
+    a = assigned.select(
+        "cluster", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    b = assigned.select(
+        "cluster", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", F.round(cosine_expr(F.col("emb_a"), F.col("emb_b")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+        .distinct()  # a pair may share both assigned clusters
+    )
+
+
 def write_ivf_index(
     vectors: DataFrame,
     path: str,

@@ -107,3 +107,41 @@ def test_ivf_index_write_search_partition_pruned(spark, vectors, probes,
     # mentions the cluster IN-list
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "cluster" in plan
+
+
+def test_embedding_near_dup_recall_vs_brute(spark, vectors):
+    """Cluster-bucketed embedding near-dup (multi-probe assignment) must
+    recover every brute-force pair above the threshold on the fixture —
+    near-dup pairs share a centroid (or the second assignment covers the
+    boundary)."""
+    from document_retrieval_spark.operators.similarity import (
+        cosine_expr,
+        embedding_near_dup_pairs,
+    )
+
+    thr = 0.4
+    a = vectors.selectExpr("vec_id as vec_a", "embedding as emb_a")
+    b = vectors.selectExpr("vec_id as vec_b", "embedding as emb_b")
+    brute = {
+        (r["vec_a"], r["vec_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", F.round(cosine_expr(F.col("emb_a"), F.col("emb_b")), 6))
+        .filter(F.col("cos") >= thr)
+        .collect()
+    }
+    # thr 0.4 is a STRESS setting on this fixture (its max pairwise cosine
+    # is ~0.5, i.e. these are merely-similar pairs, not near-dups); true
+    # near-dups (cos ~1) virtually always share the top centroid. n_assign=3
+    # buys the boundary coverage the stress threshold needs.
+    for train_iters in (0, 2):
+        got = {
+            (r["vec_a"], r["vec_b"])
+            for r in embedding_near_dup_pairs(
+                vectors, threshold=thr, n_centroids=8, n_assign=3,
+                train_iters=train_iters,
+            ).collect()
+        }
+        assert got <= brute  # no false positives by construction
+        recall = len(got & brute) / max(len(brute), 1)
+        assert recall >= 0.9, (train_iters, recall, len(brute))
