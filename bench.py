@@ -88,6 +88,8 @@ def _transcripts_parquet(tr_pdf, n_files: int = 32) -> str:
         f"{len(tr_pdf)}-{tr_pdf['conv_id'].iloc[0]}-{tr_pdf['conv_id'].iloc[-1]}".encode()
     ).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"bench_transcripts_{key}.parquet")
+    if os.path.isfile(path):  # stale single-file cache from the old layout
+        os.remove(path)
     done = os.path.join(path, "_DONE")
     if not os.path.exists(done):
         os.makedirs(path, exist_ok=True)
@@ -413,10 +415,12 @@ def main() -> int:
         _wand(qt1, postings, docs_ord, coll, bm25, k=10, terms=terms1).count()
         lat.append((time.time() - t0) * 1000)
     lat.sort()
+    import math as _math
+
     extras["query_latency_ms"] = {
         "n": len(lat),
-        "p50": round(lat[len(lat) // 2], 1),
-        "p95": round(lat[int(len(lat) * 0.95) - 1], 1),
+        "p50": round(lat[max(_math.ceil(0.50 * len(lat)) - 1, 0)], 1),
+        "p95": round(lat[max(_math.ceil(0.95 * len(lat)) - 1, 0)], 1),
         "max": round(lat[-1], 1),
     }
 

@@ -6,9 +6,11 @@ not guaranteed in the execution environment, so the engine ships the PUBLIC
 algorithm itself: M.F. Porter, "An algorithm for suffix stripping", Program
 14(3) 1980 — implemented from the published rule tables (steps 1a-5b),
 original 1980 variant (no later official-website revisions such as
-logi->log). nltk remains the preferred implementation when importable
-(functions/text.py tries it first), so behavior matches the reference
-exactly where the reference's own dependency is present.
+logi->log, which nltk's NLTK_EXTENSIONS mode also applies). `stem_lang=
+"porter"` ALWAYS uses this implementation — deterministic across
+environments, which the oracle-parity harness requires; nltk Snowball is
+used only for the other stem languages (fr/de/es/it), where no hermetic
+implementation exists and absence degrades to identity.
 
 Applied token-at-a-time inside the Arrow-batched tokenizer UDF — the
 per-token semantics, NOT the reference's buggy whole-string

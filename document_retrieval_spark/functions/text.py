@@ -104,18 +104,22 @@ def tokenize_pandas_udf(cfg: TokenizerConfig):
         from .stem import porter_stem
 
         stem_fn = porter_stem
-    if cfg.lemmatize or (cfg.stem_lang and stem_fn is None):
-        try:  # gated import — nltk is optional in this environment
-            if cfg.lemmatize:
-                from nltk.stem import WordNetLemmatizer
+    # independent gated imports: a missing nltk lemmatizer must not discard
+    # the hermetic Porter stemmer (and vice versa)
+    if cfg.lemmatize:
+        try:
+            from nltk.stem import WordNetLemmatizer
 
-                lemmatizer = WordNetLemmatizer()
-            if cfg.stem_lang:
-                from nltk.stem.snowball import SnowballStemmer
-
-                stem_fn = SnowballStemmer(cfg.stem_lang).stem
+            lemmatizer = WordNetLemmatizer()
         except Exception:
-            lemmatizer = stem_fn = None
+            lemmatizer = None
+    if cfg.stem_lang and stem_fn is None:
+        try:
+            from nltk.stem.snowball import SnowballStemmer
+
+            stem_fn = SnowballStemmer(cfg.stem_lang).stem
+        except Exception:
+            stem_fn = None
 
     base_cfg = TokenizerConfig(
         lowercase=cfg.lowercase,

@@ -48,6 +48,7 @@ from ..operators.stats import (
 )
 
 MANIFEST = "_manifest.json"
+PENDING = "_compact_pending"
 
 
 def _dir_bytes(path: str) -> int:
@@ -140,6 +141,7 @@ class IndexBuilder:
 
         lang = self.cfg.index.lang_col
         report: dict = {"stages": {}, "skipped": []}
+        self._recover_pending()
         self._drop_stale_groups()
 
         # Tokenization strategy, ONE tokenize pass either way:
@@ -352,11 +354,26 @@ class IndexBuilder:
         rather than docid order (scores themselves are identical to a cold
         rebuild; tests/test_compaction.py asserts result equality on a
         tie-free corpus).
+
+        Crash consistency: the three appends are staged under
+        `_compact_pending/` and applied only after an atomically-renamed
+        COMMIT.json lands (write-ahead commit). A crash before the marker
+        rolls BACK (live table untouched, the staged conversations are
+        re-detected next run); a crash after it rolls FORWARD on the next
+        build()/compact() (file moves are idempotent). Without this, a crash
+        between the docs append and the doc_map/tf appends would leave
+        orphan docs rows that the anti-join then treats as already indexed —
+        silently unsearchable forever.
         """
+        import shutil
+
         from pyspark.sql import Observation
 
         lang = self.cfg.index.lang_col
-        for stage in ("docs", "doc_map", "tf", "stats"):
+        self._recover_pending()
+        # stats/postings may be legitimately invalidated (a rolled-forward
+        # compaction rebuilds them below); only the append targets must exist
+        for stage in ("docs", "doc_map", "tf"):
             if not self._complete(stage):
                 raise ValueError(
                     f"compact() requires a completed build (stage {stage!r} "
@@ -364,13 +381,8 @@ class IndexBuilder:
                 )
         report: dict = {"stages": {}, "skipped": []}
 
-        def _refresh(stage: str):
-            # the session-level FileStatusCache would otherwise serve the
-            # pre-append listing of a path this session has read before
-            self.spark.catalog.refreshByPath(self._path(stage))
-
         # materialize the delta ONCE to a staging table, severing its lineage
-        # from the docs path: the appends below refresh that path's file
+        # from the docs path: applying the commit refreshes that path's file
         # listing, which would otherwise invalidate this plan's cache and
         # re-run the anti-join against the already-appended rows (dropping
         # every new doc). IO cost is one write+read of the DELTA only.
@@ -384,40 +396,28 @@ class IndexBuilder:
         self.spark.catalog.refreshByPath(delta_path)
         docs_tok = self.spark.read.parquet(delta_path)
 
+        pending = self._path(PENDING)
+        shutil.rmtree(pending, ignore_errors=True)
         doc_cols = ["docid", "dl", "n_turns", "first_ts", "last_ts"] + (
             [lang] if lang else []
         )
-        t0 = time.time()
+        # ---- stage the three appends under pending/ (live table untouched)
         obs = Observation()
         docs_tok.select(*doc_cols).observe(
             obs, F.count(F.lit(1)).alias("rows")
-        ).write.mode("append").parquet(self._path("docs"))
-        _refresh("docs")
+        ).write.mode("overwrite").parquet(f"{pending}/docs")
         n_new = obs.get["rows"]
-        old = self.manifest("docs") or {}
-        report["stages"]["docs"] = self._write_manifest(
-            "docs", t0, {"rows": old.get("rows", 0) + n_new,
-                         "appended": n_new}, ["<staged transcripts>"]
-        )
 
-        t0 = time.time()
         base = self.spark.read.parquet(self._path("doc_map")).agg(
             F.coalesce(F.max("doc_ord") + 1, F.lit(0)).alias("b")
         ).collect()[0]["b"]
-        new_map = assign_doc_ordinals(docs_tok.select("docid", "dl")).withColumn(
+        assign_doc_ordinals(docs_tok.select("docid", "dl")).withColumn(
             "doc_ord", F.col("doc_ord") + F.lit(int(base))
-        )
-        new_map.write.mode("append").parquet(self._path("doc_map"))
-        _refresh("doc_map")
-        old = self.manifest("doc_map") or {}
-        report["stages"]["doc_map"] = self._write_manifest(
-            "doc_map", t0, {"rows": old.get("rows", 0) + n_new,
-                            "appended": n_new}, [self._path("docs")]
-        )
+        ).write.mode("overwrite").parquet(f"{pending}/doc_map")
 
-        t0 = time.time()
         tf_new = term_frequencies(docs_tok, lang_col=lang)
         g = self.cfg.index.n_shard_groups
+        new_map = self.spark.read.parquet(f"{pending}/doc_map")
         tf_part = tf_new.join(
             new_map.select("docid", "doc_ord", "dl"), "docid"
         ).withColumn(
@@ -425,30 +425,104 @@ class IndexBuilder:
         )
         obs = Observation()
         tf_part.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
-            "append"
-        ).partitionBy("shard_group").parquet(self._path("tf"))
-        _refresh("tf")
-        old = self.manifest("tf") or {}
-        report["stages"]["tf"] = self._write_manifest(
-            "tf", t0, {"rows": old.get("rows", 0) + obs.get["rows"],
-                       "appended": obs.get["rows"]},
-            ["<staged transcripts>", self._path("doc_map")],
-        )
-        import shutil
+            "overwrite"
+        ).partitionBy("shard_group").parquet(f"{pending}/tf")
+        n_tf = obs.get["rows"]
 
+        # ---- write-ahead commit record: file moves + updated manifests +
+        # the downstream manifests to invalidate, applied as one recovery-
+        # replayable unit
+        moves = []
+        for stage in ("docs", "doc_map", "tf"):
+            src_base = os.path.join(pending, stage)
+            for root, _dirs, files in os.walk(src_base):
+                for fname in files:
+                    if fname.startswith(("_", ".")):
+                        continue
+                    src = os.path.join(root, fname)
+                    rel = os.path.relpath(src, src_base)
+                    moves.append(
+                        [os.path.relpath(src, self.out), os.path.join(stage, rel)]
+                    )
+        olds = {s: (self.manifest(s) or {}) for s in ("docs", "doc_map", "tf")}
+        commit = {
+            "moves": moves,
+            "manifests": {
+                "docs": {
+                    "extra": {"rows": olds["docs"].get("rows", 0) + n_new,
+                              "appended": n_new},
+                    "inputs": ["<staged transcripts>"],
+                },
+                "doc_map": {
+                    "extra": {"rows": olds["doc_map"].get("rows", 0) + n_new,
+                              "appended": n_new},
+                    "inputs": [self._path("docs")],
+                },
+                "tf": {
+                    "extra": {"rows": olds["tf"].get("rows", 0) + n_tf,
+                              "appended": n_tf},
+                    "inputs": ["<staged transcripts>", self._path("doc_map")],
+                },
+            },
+            "invalidate": ["stats"]
+            + [f"postings/group={i}" for i in range(g)],
+        }
+        marker_tmp = os.path.join(pending, "_COMMIT.tmp")
+        with open(marker_tmp, "w") as f:
+            json.dump(commit, f, indent=1)
+        os.replace(marker_tmp, os.path.join(pending, "COMMIT.json"))  # commit point
+        self._apply_commit(commit)
         shutil.rmtree(delta_path, ignore_errors=True)
+        for s in ("docs", "doc_map", "tf"):
+            report["stages"][s] = self.manifest(s)
 
-        # invalidate the global stages, then reuse build()'s stats+postings
-        # path (docs/doc_map/tf are complete, so build() skips them and
-        # never touches the `transcripts` argument)
-        for stage in ["stats"] + [f"postings/group={i}" for i in range(g)]:
-            mpath = os.path.join(self._path(stage), MANIFEST)
-            if os.path.exists(mpath):
-                os.remove(mpath)
+        # rebuild the global stages via build()'s stats+postings path
+        # (docs/doc_map/tf are complete, so build() skips them and never
+        # touches the `transcripts` argument)
         rebuilt = self.build(self.spark.createDataFrame([], "conv_id string"))
         report["stages"].update(rebuilt["stages"])
         report["total"] = rebuilt["total"]
         return report
+
+    def _apply_commit(self, commit: dict) -> None:
+        """Apply (or re-apply during recovery) a staged compaction: move the
+        pending files into the live stage dirs (idempotent: a src missing
+        means that move already happened), invalidate downstream manifests,
+        write the updated stage manifests, drop the staging dir."""
+        import shutil
+
+        for src_rel, dst_rel in commit["moves"]:
+            src = os.path.join(self.out, src_rel)
+            dst = os.path.join(self.out, dst_rel)
+            if os.path.exists(src):
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(src, dst)
+        for stage in commit["invalidate"]:
+            mpath = os.path.join(self._path(stage), MANIFEST)
+            if os.path.exists(mpath):
+                os.remove(mpath)
+        t0 = time.time()
+        for stage, m in commit["manifests"].items():
+            self._write_manifest(stage, t0, m["extra"], m["inputs"])
+            # the listing of an appended path changed; drop the session's
+            # cached file index
+            self.spark.catalog.refreshByPath(self._path(stage))
+        shutil.rmtree(self._path(PENDING), ignore_errors=True)
+
+    def _recover_pending(self) -> None:
+        """Crash recovery for compact(): roll a half-applied compaction
+        FORWARD if its COMMIT.json landed, otherwise roll BACK by discarding
+        the staging dirs (the live table was never touched)."""
+        import shutil
+
+        pending = self._path(PENDING)
+        marker = os.path.join(pending, "COMMIT.json")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                self._apply_commit(json.load(f))
+        elif os.path.isdir(pending):
+            shutil.rmtree(pending, ignore_errors=True)
+        shutil.rmtree(self._path("_compact_delta"), ignore_errors=True)
 
     def _rollup(self, report: dict) -> dict:
         # roll-up manifest

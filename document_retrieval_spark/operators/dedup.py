@@ -165,8 +165,12 @@ def jaccard_pairs(
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     if candidates is not None:
+        # candidate multiplicity must not inflate the common counts (the old
+        # leftsemi formulation was multiplicity-immune; the fast path counts
+        # once per candidate ROW, so normalize to distinct pairs first)
+        cand = candidates.select("doc_a", "doc_b").distinct()
         common = (
-            candidates.join(a, "doc_a")
+            cand.join(a, "doc_a")
             .join(b, ["doc_b", "shingle"])
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias("common"))

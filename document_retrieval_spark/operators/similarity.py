@@ -284,9 +284,12 @@ def search_ivf_index(
         )
         .select("probe_id", F.col("centroid_id").alias("cluster"))
     )
-    touched = sorted(
-        r["cluster"] for r in probe_clusters.select("cluster").distinct().collect()
-    )
+    # collect the (bounded) probe->cluster routing ONCE and rebuild it as a
+    # local relation: reusing the lazy probe_clusters plan in the join would
+    # re-run the probes x centroids scoring as a second job per query
+    rows = [(r["probe_id"], r["cluster"]) for r in probe_clusters.collect()]
+    touched = sorted({c for _, c in rows})
+    probe_clusters = spark.createDataFrame(rows, ["probe_id", "cluster"])
     pruned = assigned.filter(F.col("cluster").isin(touched))
     p = probes.select("probe_id", F.col("embedding").alias("p_emb"))
     scored = (

@@ -231,6 +231,15 @@ def wand_topk(
     it, avoiding any driver-side collect here).
     """
     join_keys = ["term"] + ([lang_col] if lang_col else [])
+    if not bm25.unique_query_terms:
+        # duplicate-term scoring (variants 2-5's literal loops) would count
+        # a term once here but twice in the exhaustive scorer — refuse
+        # rather than silently disagree with the differential twin
+        raise ValueError(
+            "wand_topk scores each distinct query term once "
+            "(unique_query_terms=False configs must use "
+            "bm25_score_exhaustive)"
+        )
     # The WAND kernel requires DISTINCT per-query terms: duplicate
     # (query_id, term) rows would duplicate a term's segments inside one
     # cursor and break the sorted-cursor invariant (doc ordinals must be

@@ -102,12 +102,15 @@ class SnapshotTable:
             },
         }
         snap_path = os.path.join(self.path, "snapshots", f"snap-{new_id}.json")
-        if os.path.exists(snap_path):
+        try:
+            # O_EXCL create — the atomic loser-gets-an-error check (a plain
+            # exists() test would be a TOCTOU race between two committers)
+            with open(snap_path, "x") as f:
+                json.dump(snap, f, indent=1)
+        except FileExistsError:
             raise RuntimeError(
-                f"snapshot {new_id} already committed (concurrent writer?)"
-            )
-        with open(snap_path, "w") as f:
-            json.dump(snap, f, indent=1)
+                f"snapshot {new_id} already committed (concurrent writer)"
+            ) from None
         # atomic pointer swap — THE commit point
         vtmp = os.path.join(self.path, f"_VERSION.{commit_uuid}")
         with open(vtmp, "w") as f:

@@ -144,3 +144,57 @@ def test_compact_per_language_index(spark, tmp_path_factory):
 
     got, want = topk_lang(out_inc), topk_lang(out_cold)
     assert got == want and len(got) > 0
+
+
+def test_compact_crash_recovery(spark, tmp_path_factory, monkeypatch):
+    """Write-ahead commit: a crash AFTER the COMMIT marker rolls forward on
+    the next run; leftover staging WITHOUT a marker rolls back. Either way
+    the final index equals a cold build — no staged conversation is ever
+    silently lost to the anti-join."""
+    all_tr = gen_transcripts(40, seed=88)
+    convs = sorted(all_tr["conv_id"].unique())
+    base = all_tr[all_tr["conv_id"].isin(convs[:25])]
+    delta = all_tr[all_tr["conv_id"].isin(convs[25:])]
+    schema = transcripts_schema()
+    out_inc = str(tmp_path_factory.mktemp("idx_crash"))
+    out_cold = str(tmp_path_factory.mktemp("idx_crash_cold"))
+    builder = IndexBuilder(spark, CFG, out_inc)
+    builder.build(spark.createDataFrame(base, schema=schema))
+
+    # leftover staging WITHOUT a marker (crash before the commit point):
+    # recovery must discard it and the subsequent compact must still work
+    pend = os.path.join(out_inc, "_compact_pending", "docs")
+    os.makedirs(pend)
+    open(os.path.join(pend, "part-junk.parquet"), "w").write("junk")
+
+    # crash AFTER the commit point: _apply_commit raises once
+    orig_apply = IndexBuilder._apply_commit
+
+    def crashing(self, commit):
+        raise RuntimeError("injected crash after commit point")
+
+    monkeypatch.setattr(IndexBuilder, "_apply_commit", crashing)
+    ddf = spark.createDataFrame(delta, schema=schema)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        builder.compact(ddf)
+    monkeypatch.setattr(IndexBuilder, "_apply_commit", orig_apply)
+    assert os.path.exists(
+        os.path.join(out_inc, "_compact_pending", "COMMIT.json")
+    )
+
+    # next compact: recovery rolls the marked commit forward, then the
+    # anti-join sees the docs as indexed (appended == 0)
+    report = builder.compact(ddf)
+    assert report["stages"]["docs"]["appended"] == 0
+    assert report["stages"]["docs"]["rows"] == 40
+    assert not os.path.exists(os.path.join(out_inc, "_compact_pending"))
+
+    IndexBuilder(spark, CFG, out_cold).build(
+        spark.createDataFrame(all_tr, schema=schema)
+    )
+    qdf = spark.createDataFrame(
+        gen_queries(all_tr, 15, seed=89)[["query_id", "query"]]
+    )
+    assert _topk(spark, out_inc, qdf) == _topk(spark, out_cold, qdf)
