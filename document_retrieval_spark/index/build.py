@@ -255,6 +255,12 @@ class IndexBuilder:
                 tf.select("term", "docid", *([lang] if lang else [])),
                 coll,
                 lang_col=lang,
+                # the persisted idf (and the idf baked into postings) must
+                # follow the configured BM25 variant: an index built with
+                # idf_plus_one=False (variants 3/5) would otherwise silently
+                # persist variant-1 ln(1+ratio) while the manifest fingerprint
+                # claims otherwise
+                idf_plus_one=self.cfg.bm25.idf_plus_one,
             )
             coll.write.mode("overwrite").parquet(self._path("stats/coll"))
             obs = Observation()

@@ -225,18 +225,21 @@ def minhash_near_dupes(
     The shingle set feeds FIVE consumers (dictionary, signatures, the verify
     join's two sides and the size table); without materialization Catalyst
     re-tokenizes and re-shingles the corpus once per consumer (measured: 19
-    parquet scans, 0 reused exchanges in one plan). `cache=True` persists the
-    shingle and candidate stages — at corpus scale these would be staged to
-    parquet between jobs (the IndexBuilder pattern); in-memory persist is
-    the single-job equivalent."""
+    parquet scans, 0 reused exchanges in one plan). `cache=True` materializes
+    the shingle and candidate stages via eager localCheckpoint — unlike
+    persist(), whose CacheManager entry pins the blocks until an explicit
+    unpersist (repeated dedup runs in a long session accumulate cached
+    partitions), checkpoint blocks are reclaimed by the ContextCleaner when
+    the frames become unreachable. At corpus scale these stages would be
+    staged to parquet between jobs (the IndexBuilder pattern)."""
     sh = shingles(docs, k=k)
     if cache:
-        sh = sh.persist()
+        sh = sh.localCheckpoint(eager=True)
     dictionary = shingle_dictionary(sh)
     sig = minhash_signatures(sh, dictionary, n_hashes=n_hashes)
     cand = lsh_candidate_pairs(lsh_bands(sig, rows_per_band))
     if cache:
-        cand = cand.persist()
+        cand = cand.localCheckpoint(eager=True)
     return jaccard_pairs(sh, cand).filter(F.col("jaccard") >= threshold)
 
 

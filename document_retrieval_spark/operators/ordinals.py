@@ -41,10 +41,21 @@ def dense_rank_ordinals(
     columns pass through unchanged.
     """
     n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    # Materialize ONCE (localCheckpoint, eager): both consumers below — the
+    # per-partition counts and the final join — must observe the SAME range
+    # boundaries and row order, and two separate executions of a
+    # repartitionByRange plan can sample different boundaries. Unlike
+    # DataFrame.persist(), which CacheManager pins until an explicit
+    # unpersist (repeated calls in a long-lived session accumulate cached
+    # partitions), localCheckpoint blocks are reclaimed by the
+    # ContextCleaner as soon as the frame becomes unreachable. On a
+    # multi-executor cluster with executor churn, swap for a reliable
+    # checkpoint dir (sc.setCheckpointDir) — localCheckpoint truncates
+    # lineage, so a lost executor cannot recompute its blocks.
     ranged = (
         df.repartitionByRange(n_parts, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     w_local = Window.partitionBy("_pid").orderBy(*order_cols)
     counts = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt"))

@@ -287,9 +287,12 @@ def search_ivf_index(
     # collect the (bounded) probe->cluster routing ONCE and rebuild it as a
     # local relation: reusing the lazy probe_clusters plan in the join would
     # re-run the probes x centroids scoring as a second job per query
+    routing_schema = probe_clusters.select("probe_id", "cluster").schema
     rows = [(r["probe_id"], r["cluster"]) for r in probe_clusters.collect()]
     touched = sorted({c for _, c in rows})
-    probe_clusters = spark.createDataFrame(rows, ["probe_id", "cluster"])
+    # explicit schema: an empty probe set (or no probe/centroid match) must
+    # yield an empty result, not an infer-from-empty createDataFrame error
+    probe_clusters = spark.createDataFrame(rows, schema=routing_schema)
     pruned = assigned.filter(F.col("cluster").isin(touched))
     p = probes.select("probe_id", F.col("embedding").alias("p_emb"))
     scored = (

@@ -102,6 +102,16 @@ class SnapshotTable:
             },
         }
         snap_path = os.path.join(self.path, "snapshots", f"snap-{new_id}.json")
+        # Crash recovery: a crash between the snapshot-file create below and
+        # the VERSION swap (the commit point) leaves an orphan
+        # snap-<new_id>.json. Its id is greater than the committed VERSION,
+        # so no reader resolves it and no committed snapshot lists its files
+        # — under this table's single-writer contract it is reclaimable.
+        # Without this, every later commit recomputes the same new_id from
+        # the un-swapped VERSION and collides forever.
+        cur = self.current_snapshot_id()
+        if os.path.exists(snap_path) and (cur is None or new_id > cur):
+            os.remove(snap_path)
         try:
             # O_EXCL create — the atomic loser-gets-an-error check (a plain
             # exists() test would be a TOCTOU race between two committers)

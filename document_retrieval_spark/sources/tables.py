@@ -35,12 +35,14 @@ def read_transcripts(spark: SparkSession, location: str) -> DataFrame:
     or a parquet path; asserts the authoritative input schema."""
     from .snapshots import SnapshotTable, is_snapshot_table
 
-    if "://" not in location and not location.startswith("/") and _iceberg_available(spark):
-        df = spark.read.table(location)
-    elif is_snapshot_table(location):
+    if is_snapshot_table(location):
         # local Iceberg-style snapshot table (sources/snapshots.py): read
-        # the current snapshot's explicit file list
+        # the current snapshot's explicit file list. Checked FIRST — a
+        # snapshot dir on disk is unambiguous, while the table-name
+        # heuristic below would misroute a relative path to the catalog.
         df = SnapshotTable(spark, location).read()
+    elif "://" not in location and not location.startswith("/") and _iceberg_available(spark):
+        df = spark.read.table(location)
     elif location.endswith(".json"):
         # dev fallback mirroring the reference's corpus.json scan (S1)
         from ..fixtures.transcripts import transcripts_schema

@@ -130,3 +130,25 @@ def test_reduced_shard_groups_drop_stale_dirs(spark, transcripts_df, cfg,
     out_fresh = str(tmp_path_factory.mktemp("idx_fresh2"))
     IndexBuilder(spark, cfg2, out_fresh).build(transcripts_df)
     assert _postings_content(spark, out) == _postings_content(spark, out_fresh)
+
+
+def test_builder_persists_variant_idf(spark, transcripts_df, tmp_path_factory):
+    """An index built with idf_plus_one=False (variants 3/5) must persist
+    ln(ratio) into stats/terms — not silently bake variant-1 ln(1+ratio)
+    while the manifest fingerprint claims otherwise (ADVICE r2)."""
+    import math
+
+    cfg = EngineConfig(
+        tokenizer=REFERENCE_PROFILE,
+        bm25=BM25Config(idf_plus_one=False, dl_mode="query_terms"),
+        index=IndexConfig(n_shards=4, n_shard_groups=2, salt_df_threshold=10),
+    )
+    out = str(tmp_path_factory.mktemp("idx_variant3"))
+    IndexBuilder(spark, cfg, out).build(transcripts_df)
+    idx = load_index(spark, out)
+    n = idx.coll.collect()[0]["n_docs"]
+    rows = idx.term_stats.limit(25).collect()
+    assert rows
+    for r in rows:
+        ratio = (n - r["df"] + 0.5) / (r["df"] + 0.5)
+        assert abs(r["idf"] - math.log(ratio)) < 1e-9, r["term"]

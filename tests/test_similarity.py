@@ -145,3 +145,19 @@ def test_embedding_near_dup_recall_vs_brute(spark, vectors):
         assert got <= brute  # no false positives by construction
         recall = len(got & brute) / max(len(brute), 1)
         assert recall >= 0.9, (train_iters, recall, len(brute))
+
+
+def test_ivf_search_empty_probes(spark, vectors, probes, tmp_path_factory):
+    """An empty probe set returns an empty result frame, not an
+    infer-schema-from-empty createDataFrame crash (ADVICE r2)."""
+    from document_retrieval_spark.operators.similarity import (
+        search_ivf_index,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivf_empty"))
+    write_ivf_index(vectors, path, n_centroids=4, train_iters=1)
+    empty = probes.filter(F.col("probe_id") < 0)
+    res = search_ivf_index(spark, path, empty, n_probe=2, k=5)
+    assert res.count() == 0
+    assert res.columns == ["probe_id", "rank", "vec_id", "cos"]

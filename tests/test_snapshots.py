@@ -73,3 +73,31 @@ def test_reader_and_builder_consume_snapshot_table(spark, table,
     out = str(tmp_path_factory.mktemp("snap_idx"))
     report = IndexBuilder(spark, cfg, out).build(df)
     assert report["total"]["postings_written"] > 0
+
+def test_orphan_snapshot_recovery(spark, table):
+    """Crash between snapshot-file create and the VERSION swap leaves an
+    orphan snap-<id>.json; the next commit must reclaim it instead of
+    colliding on the same id forever (ADVICE r2, single-writer contract)."""
+    import json
+    import os
+
+    tr = gen_transcripts(10, seed=14)
+    schema = transcripts_schema()
+    table.commit_append(spark.createDataFrame(tr, schema=schema))
+    n1 = table.read().count()
+
+    # simulate the crash window: snap-2.json exists, VERSION still says 1
+    orphan = os.path.join(table.path, "snapshots", "snap-2.json")
+    with open(orphan, "x") as f:
+        json.dump({"id": 2, "parent": 1, "ts": 0.0,
+                   "files": ["data/bogus-crashed.parquet"],
+                   "summary": {"added_files": 1, "total_files": 2}}, f)
+    assert table.current_snapshot_id() == 1
+
+    # commit succeeds, takes id 2, and the orphan's file list is discarded
+    s2 = table.commit_append(
+        spark.createDataFrame(tr.assign(conv_id=tr.conv_id + "_c"), schema=schema)
+    )
+    assert s2 == 2 and table.current_snapshot_id() == 2
+    assert table.read().count() == 2 * n1
+    assert "data/bogus-crashed.parquet" not in table.snapshot(2)["files"]
