@@ -392,8 +392,18 @@ def main() -> int:
     ).count()
     queries_sec["bm25_exhaustive"] = round(time.time() - t0, 3)
 
+    # doc L2 norms are query-independent index artifacts (the reference
+    # normalizes its sparse matrix ONCE up front) — build them once, timed
+    # separately, then serve the query batch against the persisted norms
+    from document_retrieval_spark.query.cosine import doc_norms
+
     t0 = time.time()
-    cosine_topk(qt, tf, stats, k=10).count()
+    dn = doc_norms(tf, stats).persist()
+    dn.count()
+    queries_sec["cosine_norms_build"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    cosine_topk(qt, tf, stats, k=10, doc_norm=dn).count()
     queries_sec["cosine_topk"] = round(time.time() - t0, 3)
 
     # ---- single-query latency distribution (BASELINE metric names "query

@@ -20,20 +20,38 @@ from pyspark.sql import functions as F
 from ..operators.topk import topk_per_group
 
 
+def doc_norms(
+    tf: DataFrame,            # (docid, term, tf)
+    term_stats: DataFrame,    # (term, idf)
+    lang_col: str | None = None,
+) -> DataFrame:
+    """(docid, doc_norm): L2 norm of each doc's tf*idf vector.
+
+    Query-INDEPENDENT — the exact analog of the reference normalizing its
+    sparse matrix once up front (`cosine_similarity_bm25_reranking.py:210`).
+    Compute once per index (persist or write next to stats) and pass to
+    `cosine_topk`; recomputing per query batch re-scans the whole tf table
+    for a value that only changes when the index does."""
+    join_keys = ["term"] + ([lang_col] if lang_col else [])
+    doc_w = tf.join(term_stats.select(*join_keys, "idf"), join_keys).withColumn(
+        "w", F.col("tf").cast("double") * F.col("idf")
+    )
+    return doc_w.groupBy("docid").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("doc_norm")
+    )
+
+
 def cosine_topk(
     query_terms: DataFrame,   # (query_id, term) DISTINCT terms
     tf: DataFrame,            # (docid, term, tf)
     term_stats: DataFrame,    # (term, idf)
     k: int = 10,
     lang_col: str | None = None,
+    doc_norm: DataFrame | None = None,  # precomputed doc_norms() output
 ) -> DataFrame:
     join_keys = ["term"] + ([lang_col] if lang_col else [])
-    doc_w = tf.join(term_stats.select(*join_keys, "idf"), join_keys).withColumn(
-        "w", F.col("tf").cast("double") * F.col("idf")
-    )
-    doc_norm = doc_w.groupBy("docid").agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("doc_norm")
-    )
+    if doc_norm is None:
+        doc_norm = doc_norms(tf, term_stats, lang_col=lang_col)
     q_w = (
         query_terms.join(F.broadcast(term_stats.select(*join_keys, "idf")), join_keys)
         .withColumn("qw", F.col("idf"))
@@ -41,8 +59,13 @@ def cosine_topk(
     q_norm = q_w.groupBy("query_id").agg(
         F.sqrt(F.sum(F.col("qw") * F.col("qw"))).alias("q_norm")
     )
+    # the broadcast query side already carries each term's idf, so the dots
+    # pass needs NO tf x term_stats join: the broadcast hash join on term is
+    # simultaneously the doc-weight lookup and the query-term filter over tf
     dots = (
-        doc_w.join(F.broadcast(q_w.select("query_id", *join_keys, "qw")), join_keys)
+        tf.join(F.broadcast(q_w.select("query_id", *join_keys, "qw", "idf")),
+                join_keys)
+        .withColumn("w", F.col("tf").cast("double") * F.col("idf"))
         .groupBy("query_id", "docid")
         .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
     )

@@ -39,3 +39,22 @@ def test_cosine_rank_identity(spark, transcripts_df, queries_df, oracle_index,
         if want:
             n += 1
     assert n >= 40
+
+
+def test_cosine_precomputed_norms_identical(spark, transcripts_df, queries_df):
+    """cosine_topk with index-time doc_norms() equals the self-computing
+    path exactly — precomputation is a plan change, not a semantic one."""
+    from document_retrieval_spark.query.cosine import doc_norms
+
+    docs = tokenize_documents(assemble_documents(transcripts_df), REFERENCE_PROFILE)
+    tf = term_frequencies(docs)
+    stats = build_term_stats(tf, collection_stats(docs))
+    qt = prepare_query_terms(
+        queries_df, REFERENCE_PROFILE, BM25Config(unique_query_terms=True)
+    )
+    base = {(r["query_id"], r["rank"], r["docid"], round(r["score"], 9))
+            for r in cosine_topk(qt, tf, stats, k=10).collect()}
+    dn = doc_norms(tf, stats)
+    pre = {(r["query_id"], r["rank"], r["docid"], round(r["score"], 9))
+           for r in cosine_topk(qt, tf, stats, k=10, doc_norm=dn).collect()}
+    assert base == pre and len(base) > 0
