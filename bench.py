@@ -159,10 +159,15 @@ def _build_and_query(spark, tr_pdf, q_pdf, k=10):
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     ).persist()
-    stats = build_term_stats(tf, coll)
+    # stats persisted UP FRONT: build_postings consumes it via two broadcasts
+    # (hot-term flags; per-term df/idf re-attach over encoded segments) and
+    # the headline exhaustive/cosine queries reuse it afterwards
+    stats = build_term_stats(tf, coll).persist()
+    avgdl = float(coll.first()["avgdl"])  # broadcast scalar for the encoder
     postings = build_postings(
         tf.join(docs_ord, "docid"), stats,
         IndexConfig(n_shards=64, salt_df_threshold=2000, n_salts=8), bm25,
+        avgdl_by_lang=avgdl,
     )
     postings.persist()
     n_post = postings.agg(F.sum("n_postings")).collect()[0][0]
@@ -174,9 +179,6 @@ def _build_and_query(spark, tr_pdf, q_pdf, k=10):
     n_res = res.count()
     query_sec = time.time() - t0
     assert n_res > 0 and n_post > 0
-    # persist stats so the downstream headline queries (exhaustive/cosine)
-    # don't recompute them per action (tf is already persisted)
-    stats = stats.persist()
     return build_sec, query_sec, docs_ord, coll, postings, stats, tf
 
 

@@ -73,23 +73,26 @@ def assign_doc_ordinals(docs: DataFrame, n_parts: int | None = None) -> DataFram
     return dense_rank_ordinals(docs, ["docid"], "doc_ord", n_parts=n_parts)
 
 
-def quotient_expr(bm25: BM25Config):
-    """The per-posting BM25 quotient (score = idf * quotient)."""
-    tf = F.col("tf").cast("double")
-    rel = F.col("dl").cast("double") / F.col("avgdl")
-    if bm25.length_norm == "standard":
-        rel = F.lit(bm25.b) * rel
-    return tf * F.lit(bm25.k1 + 1.0) / (tf + F.lit(bm25.k1) * (F.lit(1.0 - bm25.b) + rel))
-
-
 def _segment_schema(lang_col: str | None) -> str:
     lang = f"{lang_col} string, " if lang_col else ""
     return (
-        f"term string, {lang}shard int, df bigint, idf double, "
+        f"term string, {lang}"
         "n_postings int, first_ord bigint, last_ord bigint, max_q double, "
         "blocks array<struct<base:bigint,last:bigint,n:int,max_q:double,"
         "docs:binary,tfs:binary,dls:binary>>"
     )
+
+
+def _quotient_np(tfs: np.ndarray, dls: np.ndarray, bm25: BM25Config,
+                 avgdl) -> np.ndarray:
+    """Per-posting BM25 quotient, BIT-IDENTICAL to the WAND cursor's
+    arithmetic (`query/wand.py _Cursor.cur_score`): same operand order, same
+    float64 ops, so a block's stored max quotient is an exact upper bound of
+    every cursor-computed score in that block (multiplying by a positive idf
+    is monotone). `avgdl` may be a scalar or a per-row array."""
+    one_minus_b = 1.0 - bm25.b
+    b_over = (bm25.b / avgdl) if bm25.length_norm == "standard" else (1.0 / avgdl)
+    return tfs * (bm25.k1 + 1.0) / (tfs + bm25.k1 * (one_minus_b + dls * b_over))
 
 
 def _encode_group(ords, tfs, dls, qs, block_size, seg_postings):
@@ -126,17 +129,23 @@ def _encode_group(ords, tfs, dls, qs, block_size, seg_postings):
     return segs
 
 
-def _encode_partitions(block_size: int, seg_postings: int, lang_col: str | None):
+def _encode_partitions(block_size: int, seg_postings: int, lang_col: str | None,
+                       bm25: BM25Config, avgdl_by_lang: dict):
     """mapInPandas encoder over FLAT rows sorted by (term[, lang], salt,
     doc_ord) within each partition. Groups are contiguous; the trailing
     (possibly incomplete) group of each Arrow batch is carried into the next
     batch, and flushed at end-of-partition. All data crosses the Arrow
-    boundary as plain primitive columns — the fast path."""
+    boundary as plain primitive columns — the fast path.
+
+    The block-bound quotient is computed HERE (numpy, from tf/dl plus the
+    broadcast-scalar avgdl) rather than shuffled: per-term constants (df,
+    idf, shard) and per-posting derivations have no business riding an
+    O(postings) shuffle when they can be recomputed or re-joined over the
+    ~1000x smaller encoded-segment rows."""
     key_cols = ["term"] + ([lang_col] if lang_col else []) + ["salt"]
     out_cols = (
         ["term"] + ([lang_col] if lang_col else [])
-        + ["shard", "df", "idf", "n_postings", "first_ord", "last_ord",
-           "max_q", "blocks"]
+        + ["n_postings", "first_ord", "last_ord", "max_q", "blocks"]
     )
 
     def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -152,22 +161,19 @@ def _encode_partitions(block_size: int, seg_postings: int, lang_col: str | None)
         ords = pdf["doc_ord"].to_numpy(np.int64)
         tfs = pdf["tf"].to_numpy(np.int64)
         dls = pdf["dl"].to_numpy(np.int64)
-        qs = pdf["q"].to_numpy(np.float64)
-        shards = pdf["shard"].to_numpy()
-        dfs = pdf["df"].to_numpy()
-        idfs = pdf["idf"].to_numpy()
+        if lang_col:
+            avgdls = pd.Series(langs).map(avgdl_by_lang).to_numpy(np.float64)
+        else:
+            avgdls = avgdl_by_lang[None]
+        qs = _quotient_np(
+            tfs.astype(np.float64), dls.astype(np.float64), bm25, avgdls
+        )
         rows = []
         for s, e in zip(starts, ends):
             for part in _encode_group(
                 ords[s:e], tfs[s:e], dls[s:e], qs[s:e], block_size, seg_postings
             ):
-                row = {
-                    "term": terms[s],
-                    "shard": int(shards[s]),
-                    "df": int(dfs[s]),
-                    "idf": float(idfs[s]),
-                    **part,
-                }
+                row = {"term": terms[s], **part}
                 if lang_col:
                     row[lang_col] = langs[s]
                 rows.append(row)
@@ -205,6 +211,7 @@ def build_postings(
     bm25: BM25Config,
     seg_postings: int = 128 * 1024,
     lang_col: str | None = None,
+    avgdl_by_lang: dict | float | None = None,
 ) -> DataFrame:
     """-> encoded postings table:
     (term, shard, seg_id, n_segs, df, idf, n_postings, first_ord, last_ord,
@@ -223,23 +230,28 @@ def build_postings(
     """
     keys = ["term"] + ([lang_col] if lang_col else [])
     hot = term_stats.select(
-        *keys,
-        (F.col("df") > idx_cfg.salt_df_threshold).alias("is_hot"),
-        "df",
-        "idf",
-        "avgdl",
+        *keys, (F.col("df") > idx_cfg.salt_df_threshold).alias("is_hot")
     )
-    enriched = tf_ord.join(F.broadcast(hot), keys).withColumn(
-        "q", quotient_expr(bm25)
-    )
-    salted = enriched.withColumn(
+    # avgdl reaches the encoder as a broadcast scalar per language (one tiny
+    # collect), NOT as an O(postings) shuffle column
+    if avgdl_by_lang is None:
+        if lang_col:
+            avgdl_by_lang = {
+                r[lang_col]: float(r["avgdl"])
+                for r in term_stats.select(lang_col, "avgdl").distinct().collect()
+            }
+        else:
+            avgdl_by_lang = {
+                None: float(term_stats.select("avgdl").first()["avgdl"])
+            }
+    elif not isinstance(avgdl_by_lang, dict):
+        avgdl_by_lang = {None: float(avgdl_by_lang)}
+    salted = tf_ord.join(F.broadcast(hot), keys).withColumn(
         "salt",
         F.when(
             F.col("is_hot"),
-            (F.col("doc_ord") / F.lit(seg_postings)).cast("long"),
+            (F.col("doc_ord") / F.lit(seg_postings)).cast("int"),
         ).otherwise(F.lit(0)),
-    ).withColumn(
-        "shard", F.pmod(F.xxhash64("term"), F.lit(idx_cfg.n_shards)).cast("int")
     )
     # SORT-BASED assembly: shuffle FLAT rows partitioned by (term, salt) and
     # sorted by doc_ord, then encode groups in mapInPandas with carry-over at
@@ -247,22 +259,34 @@ def build_postings(
     # previous collect_list + array<struct> design spent ~16s/129k-turn build
     # just serializing nested arrays JVM->Python (measured with a no-op UDF);
     # this path moves the same data as plain columnar batches.
+    # The shuffle carries ONLY (term[, lang], salt, doc_ord, tf, dl): the
+    # per-posting quotient is derived in the encoder, and per-TERM constants
+    # (df, idf, shard) re-attach over the encoded-segment rows below —
+    # dropping ~28 uncompressible bytes from every raw posting row.
     lang_flat = [lang_col] if lang_col else []
-    flat_cols = ["term", *lang_flat, "salt", "shard", "df", "idf",
-                 "doc_ord", "tf", "dl", "q"]
+    flat_cols = ["term", *lang_flat, "salt", "doc_ord",
+                 F.col("tf").cast("int").alias("tf"),
+                 F.col("dl").cast("int").alias("dl")]
     parted = salted.select(*flat_cols).repartition(*keys, "salt")
     parted = parted.sortWithinPartitions(*keys, "salt", "doc_ord")
     seg = parted.mapInPandas(
-        _encode_partitions(idx_cfg.block_size, seg_postings, lang_col),
+        _encode_partitions(idx_cfg.block_size, seg_postings, lang_col,
+                           bm25, avgdl_by_lang),
         schema=_segment_schema(lang_col),
     )
     # dense per-term segment ids over the compressed rows (metadata only —
-    # the WAND cursor orders segments by first_ord, not seg_id)
+    # the WAND cursor orders segments by first_ord, not seg_id); df/idf
+    # re-join and shard recomputes here, over ~#terms segment rows instead
+    # of ~#postings raw rows
     from pyspark.sql import Window
 
     w = Window.partitionBy(*keys).orderBy("first_ord")
     return (
-        seg.withColumn("seg_id", (F.row_number().over(w) - 1).cast("int"))
+        seg.join(F.broadcast(term_stats.select(*keys, "df", "idf")), keys)
+        .withColumn(
+            "shard", F.pmod(F.xxhash64("term"), F.lit(idx_cfg.n_shards)).cast("int")
+        )
+        .withColumn("seg_id", (F.row_number().over(w) - 1).cast("int"))
         .withColumn(
             "n_segs",
             F.count("*").over(Window.partitionBy(*keys)).cast("int"),
