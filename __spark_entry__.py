@@ -220,6 +220,9 @@ SELECT term, count(*) AS df,
 FROM tf GROUP BY term
 """,
         "bm25_topk": _bm25_sql(K1, B, standard=False),
+        # docpart answers the SAME query through the encoded index + doc-
+        # partitioned WAND — one oracle, two physical layouts
+        "bm25_topk_docpart": _bm25_sql(K1, B, standard=False),
         "bm25_topk_standard": _bm25_sql(K1, B, standard=True),
         "bm25_topk_v3": _bm25_variant_sql(query_terms_dl=True),
         "bm25_topk_v5": _bm25_variant_sql(query_terms_dl=False),
@@ -1088,6 +1091,59 @@ def _bm25_variant_ranked(spark, sf_dir, dl_mode: str):
     )
 
 
+def _q_bm25_topk_docpart(spark, sf_dir):
+    """bm25_topk answered through the FULL index machinery — delta+varbyte
+    encoded posting segments + DOC-PARTITIONED block-max WAND
+    (`query/wand.py wand_topk_docpart`, the single-query-latency layout) —
+    then re-ranked on the rounded score (gate convention: rank on round6,
+    tie doc_id asc). Shares bm25_topk's oracle SQL: the index round-trip and
+    both WAND layouts must reproduce the plain-join scorer exactly."""
+    from pyspark.sql import functions as F
+
+    from document_retrieval_spark.config import (
+        SQL_SAFE_PROFILE,
+        BM25Config,
+        IndexConfig,
+    )
+    from document_retrieval_spark.operators.postings import (
+        assign_doc_ordinals,
+        build_postings,
+    )
+    from document_retrieval_spark.operators.topk import topk_per_group
+    from document_retrieval_spark.query.bm25 import prepare_query_terms
+    from document_retrieval_spark.query.wand import wand_topk_docpart
+
+    bm25 = BM25Config()
+    tf = _tf_table(spark, sf_dir)
+    docs = _tok_docs(spark, sf_dir)
+    agg = docs.agg(
+        F.count("*").alias("n"), F.sum(F.size("toks")).alias("s")
+    ).collect()[0]
+    n_docs, avgdl = int(agg["n"]), float(agg["s"]) / int(agg["n"])
+    coll = spark.createDataFrame([(n_docs, avgdl)], "n_docs long, avgdl double")
+    stats = _term_stats(spark, sf_dir, rounded=False)
+    doc_map = assign_doc_ordinals(docs.select(F.col("doc_id").alias("docid")))
+    tf_ord = tf.select(
+        F.col("doc_id").alias("docid"), "term", "tf", "dl"
+    ).join(doc_map, "docid")
+    # small blocks/segments so the gate exercises multi-block and
+    # multi-segment (salted hot term) paths on the 500-doc table
+    postings = build_postings(
+        tf_ord, stats, IndexConfig(n_shards=8, salt_df_threshold=50,
+                                   n_salts=4, block_size=32),
+        bm25, seg_postings=256, avgdl_by_lang=avgdl,
+    )
+    qt = prepare_query_terms(_query_df(spark), SQL_SAFE_PROFILE, bm25)
+    res = wand_topk_docpart(qt, postings, doc_map, coll, bm25, k=30,
+                            n_buckets=8)
+    rr = res.select(
+        "query_id", F.col("docid").alias("doc_id"), F.round("score", 6).alias("score")
+    )
+    return topk_per_group(rr, ["query_id"], "score", "doc_id", k=10).select(
+        "query_id", "rank", "doc_id", "score"
+    )
+
+
 def _q_bm25_topk_v3(spark, sf_dir):
     return _bm25_variant_ranked(spark, sf_dir, dl_mode="query_terms")
 
@@ -1150,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collection_stats": _q_collection_stats,
         "term_stats": _q_term_stats,
         "bm25_topk": _q_bm25_topk,
+        "bm25_topk_docpart": _q_bm25_topk_docpart,
         "bm25_topk_standard": _q_bm25_topk_standard,
         "bm25_topk_stemmed": _q_bm25_topk_stemmed,
         "bm25_topk_v3": _q_bm25_topk_v3,

@@ -47,7 +47,7 @@ class _Cursor:
 
     __slots__ = (
         "idf", "k1", "one_minus_b", "b_over", "avgdl", "segs", "seg_i",
-        "blk_i", "ords", "tfs", "dls", "pos", "done", "ub", "order_key",
+        "blk_i", "ords", "tfs", "dls", "pos", "done", "ub", "order_key", "hi",
     )
 
     def __init__(
@@ -57,6 +57,8 @@ class _Cursor:
         bm25: BM25Config,
         avgdl: float,
         order_key: int = 0,
+        lo: int | None = None,
+        hi: int | None = None,
     ):
         # order_key fixes the per-doc float summation order (ascending term
         # order) so scores are bit-reproducible run to run — last-ulp sum
@@ -78,8 +80,16 @@ class _Cursor:
         self.pos = 0
         self.done = not self.segs
         self.ub = idf * max((s["max_q"] for s in self.segs), default=0.0)
+        # [lo, hi) doc-ordinal clamp for the doc-partitioned layout: the
+        # cursor scores only its bucket's range even when a (non-hot)
+        # segment spans several buckets
+        self.hi = hi
         if not self.done:
             self._load_block()
+            if lo is not None:
+                self.seek(lo)
+            else:
+                self._clamp()
 
     def _cur_blocks(self):
         return self.segs[self.seg_i]["blocks"]
@@ -110,18 +120,25 @@ class _Cursor:
         # upper bounds can never be a final-ulp below an actual score
         return self.idf * (tf * (self.k1 + 1.0) / denom)
 
+    def _clamp(self):
+        if not self.done and self.hi is not None and self.cur_doc() >= self.hi:
+            self.done = True
+
     def advance(self):
         self.pos += 1
         if self.pos < self.ords.size:
+            self._clamp()
             return
         self.blk_i += 1
         if self.blk_i < len(self._cur_blocks()):
             self._load_block()
+            self._clamp()
             return
         self.seg_i += 1
         self.blk_i = 0
         if self.seg_i < len(self.segs):
             self._load_block()
+            self._clamp()
         else:
             self.done = True
 
@@ -149,7 +166,11 @@ class _Cursor:
             return
         if moved:
             self._load_block()
+        # the metadata skips above guarantee the loaded block's last >= target,
+        # so the landing position exists in this block (any target, including
+        # an arbitrary bucket lower bound)
         self.pos = int(np.searchsorted(self.ords[self.pos :], target, "left")) + self.pos
+        self._clamp()
 
 
 def _wand_one_query(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
@@ -234,6 +255,73 @@ def wand_topk(
     hold the query set locally — e.g. scripts/query.py reading a CSV — pass
     it, avoiding any driver-side collect here).
     """
+    touched = _touched_segments(
+        query_terms, postings, coll, bm25, lang_col, terms, max_pushdown_terms
+    )
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["query_id"].iloc[0]
+        avgdl = float(pdf["_avgdl"].iloc[0])  # one lang (hence avgdl) per query
+        ranked = _wand_one_query(_cursors_from_pdf(pdf, bm25, avgdl), k)
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "rank": np.arange(1, len(ranked) + 1, dtype=np.int32),
+                "doc_ord": [d for d, _ in ranked],
+                "score": [s for _, s in ranked],
+            }
+        )
+
+    # Finer-than-default query partitioning: per-query WAND cost is skewed
+    # (a hot-term query touches ~3x the median's postings), and with only
+    # spark.sql.shuffle.partitions buckets the slowest bucket gates the
+    # stage. HashPartitioning on query_id satisfies the groupBy's required
+    # distribution, so this is ONE shuffle, just finer-grained — tasks pack
+    # onto cores as they free up (measured ~12% on the 1M-turn batch).
+    n_parts = touched.sparkSession.sparkContext.defaultParallelism * 8
+    res = touched.repartition(n_parts, "query_id").groupBy("query_id").applyInPandas(
+        score_group, schema="query_id string, rank int, doc_ord long, score double"
+    )
+    return res.join(doc_map.select("docid", "doc_ord"), "doc_ord").select(
+        "query_id", "rank", "docid", "score"
+    )
+
+
+def _cursors_from_pdf(pdf: pd.DataFrame, bm25: BM25Config, avgdl: float,
+                      lo: int | None = None, hi: int | None = None) -> list:
+    """One _Cursor per term of a single query's touched-segment rows.
+
+    sort=True: ascending term order == the oracle's sorted(set(query))
+    summation order — bit-identical per-doc scores."""
+    cursors = []
+    for ti, (term, grp) in enumerate(pdf.groupby("term", sort=True)):
+        idf = float(grp["idf"].iloc[0])
+        segs = [
+            {
+                "first_ord": int(r.first_ord),
+                "last_ord": int(r.last_ord),
+                "max_q": float(r.max_q),
+                "blocks": list(r.blocks),
+            }
+            for r in grp.itertuples()
+        ]
+        cursors.append(_Cursor(idf, segs, bm25, avgdl, order_key=ti,
+                               lo=lo, hi=hi))
+    return cursors
+
+
+def _touched_segments(
+    query_terms: DataFrame,
+    postings: DataFrame,
+    coll: DataFrame,
+    bm25: BM25Config,
+    lang_col: str | None,
+    terms: list[str] | None,
+    max_pushdown_terms: int,
+) -> DataFrame:
+    """Shared probe stage of both WAND layouts: validate the config, prune
+    the postings scan to the batch's touched terms, join query terms to
+    their segments and attach each query's avgdl."""
     join_keys = ["term"] + ([lang_col] if lang_col else [])
     if not bm25.unique_query_terms:
         # duplicate-term scoring (variants 2-5's literal loops) would count
@@ -280,49 +368,85 @@ def wand_topk(
     else:
         avgdl_scalar = float(coll.select("avgdl").first()["avgdl"])
         avgdl_col = F.lit(avgdl_scalar)
-    touched = touched.select(
+    return touched.select(
         "query_id", "term", "idf", "first_ord", "last_ord", "max_q", "blocks",
         avgdl_col.alias("_avgdl"),
     )
 
-    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+
+def wand_topk_docpart(
+    query_terms: DataFrame,   # (query_id, term)
+    postings: DataFrame,      # encoded segments from build_postings
+    doc_map: DataFrame,       # (docid, doc_ord)
+    coll: DataFrame,          # (n_docs, avgdl) — one row (global model)
+    bm25: BM25Config,
+    k: int = 10,
+    n_buckets: int | None = None,
+    terms: list[str] | None = None,
+    max_pushdown_terms: int = 50_000,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """DOC-PARTITIONED block-max WAND -> (query_id, rank, docid, score),
+    rank-identical to `wand_topk` (tests assert exact equality).
+
+    The per-query layout above parallelizes ACROSS queries: a single query
+    runs in one task, so single-query latency is one core's WAND pass. Here
+    the doc-ordinal space splits into `n_buckets` ranges; every (query,
+    bucket) pair scores independently (a doc's postings for ALL terms live
+    in its bucket — hot-term segments are doc-range-disjoint by the salting
+    construction, and a spanning non-hot segment is replicated to each
+    bucket it overlaps with the cursor clamped to [lo, hi)), then a global
+    top-k merges the <= k*n_buckets candidates. Exact because doc ranges are
+    disjoint: each doc's score is computed whole, in exactly one bucket.
+
+    The trade: block-max pruning loses the shared theta across buckets and
+    spanning segments ship to several tasks — so this layout is for LATENCY
+    (one fat query on an idle cluster), not batch throughput. The reference
+    has no single-query path at all (one full NumPy pass per query,
+    `bm25_ranking.ipynb cell 7`)."""
+    from ..operators.topk import topk_per_group
+
+    touched = _touched_segments(
+        query_terms, postings, coll, bm25, None, terms, max_pushdown_terms
+    )
+    spark = touched.sparkSession
+    if n_buckets is None:
+        n_buckets = spark.sparkContext.defaultParallelism * 2
+    if n_docs is None:  # latency-sensitive callers pass it to skip the job
+        n_docs = int(coll.select("n_docs").first()["n_docs"])
+    width = max(1, -(-n_docs // n_buckets))
+    buckets = touched.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("first_ord") / width).cast("int"),
+                F.floor(F.col("last_ord") / width).cast("int"),
+            )
+        ),
+    )
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = pdf["query_id"].iloc[0]
-        avgdl = float(pdf["_avgdl"].iloc[0])  # one lang (hence avgdl) per query
-        cursors = []
-        # sort=True: ascending term order == the oracle's sorted(set(query))
-        # summation order — bit-identical per-doc scores
-        for ti, (term, grp) in enumerate(pdf.groupby("term", sort=True)):
-            idf = float(grp["idf"].iloc[0])
-            segs = [
-                {
-                    "first_ord": int(r.first_ord),
-                    "last_ord": int(r.last_ord),
-                    "max_q": float(r.max_q),
-                    "blocks": list(r.blocks),
-                }
-                for r in grp.itertuples()
-            ]
-            cursors.append(_Cursor(idf, segs, bm25, avgdl, order_key=ti))
-        ranked = _wand_one_query(cursors, k)
+        b = int(pdf["bucket"].iloc[0])
+        avgdl = float(pdf["_avgdl"].iloc[0])
+        lo, hi = b * width, (b + 1) * width
+        ranked = _wand_one_query(
+            _cursors_from_pdf(pdf, bm25, avgdl, lo=lo, hi=hi), k
+        )
         return pd.DataFrame(
             {
                 "query_id": qid,
-                "rank": np.arange(1, len(ranked) + 1, dtype=np.int32),
                 "doc_ord": [d for d, _ in ranked],
                 "score": [s for _, s in ranked],
             }
         )
 
-    # Finer-than-default query partitioning: per-query WAND cost is skewed
-    # (a hot-term query touches ~3x the median's postings), and with only
-    # spark.sql.shuffle.partitions buckets the slowest bucket gates the
-    # stage. HashPartitioning on query_id satisfies the groupBy's required
-    # distribution, so this is ONE shuffle, just finer-grained — tasks pack
-    # onto cores as they free up (measured ~12% on the 1M-turn batch).
-    n_parts = touched.sparkSession.sparkContext.defaultParallelism * 8
-    res = touched.repartition(n_parts, "query_id").groupBy("query_id").applyInPandas(
-        score_group, schema="query_id string, rank int, doc_ord long, score double"
+    cand = buckets.groupBy("query_id", "bucket").applyInPandas(
+        score_bucket, schema="query_id string, doc_ord long, score double"
     )
-    return res.join(doc_map.select("docid", "doc_ord"), "doc_ord").select(
+    # global merge: k winners among <= k*n_buckets candidates, engine tie
+    # rule (score desc, doc_ord asc == docid asc)
+    ranked = topk_per_group(cand, ["query_id"], "score", "doc_ord", k)
+    return ranked.join(doc_map.select("docid", "doc_ord"), "doc_ord").select(
         "query_id", "rank", "docid", "score"
     )

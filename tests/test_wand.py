@@ -136,3 +136,21 @@ def test_wand_semijoin_prune_above_pushdown_cap(built, queries_df):
         wand_topk(qt, postings, docs_ord, coll, bm25, k=K, max_pushdown_terms=2)
     )
     assert a == b
+
+
+def test_docpart_equals_per_query_wand(built, queries_df, queries_pdf):
+    """Doc-partitioned WAND (latency layout) must be EXACTLY rank- and
+    score-identical to the per-query layout: disjoint doc ranges mean every
+    doc's score is computed whole, in one bucket, with the same float ops."""
+    from document_retrieval_spark.query.wand import wand_topk, wand_topk_docpart
+
+    docs, docs_ord, tf, coll, stats, postings = built
+    bm25 = BM25Config()
+    qt = prepare_query_terms(queries_df, REFERENCE_PROFILE, bm25)
+    base = {(r["query_id"], r["rank"], r["docid"], r["score"])
+            for r in wand_topk(qt, postings, docs_ord, coll, bm25, k=K).collect()}
+    for n_buckets in (1, 3, 7):
+        dp = {(r["query_id"], r["rank"], r["docid"], r["score"])
+              for r in wand_topk_docpart(qt, postings, docs_ord, coll, bm25,
+                                         k=K, n_buckets=n_buckets).collect()}
+        assert dp == base, n_buckets

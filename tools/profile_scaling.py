@@ -13,6 +13,7 @@ Prints one JSON line with per-phase seconds.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -43,9 +44,13 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     tr_pdf, q_pdf = bench._mk_corpus(n_conv)
+    conf = dict(bench._BENCH_CONF)
+    extra = os.environ.get("PROFILE_EXTRA_CONF")
+    if extra:
+        conf.update(json.loads(extra))
     spark = get_spark(
         f"profile_{cores}", master=f"local[{cores}]",
-        shuffle_partitions=max(cores * 2, 8), extra_conf=bench._BENCH_CONF,
+        shuffle_partitions=max(cores * 2, 8), extra_conf=conf,
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
