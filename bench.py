@@ -301,7 +301,11 @@ def main() -> int:
     # the sandbox host shows up to 3x run-to-run noise on identical work, so
     # each parallelism level is sampled R times alternately and the MIN
     # (least-interference window) is reported ----
-    reps = int(os.environ.get("BENCH_REPS", "2"))
+    # 3 interleaved reps per level: this VM's window-to-window swings are 2x+
+    # (host controls in BENCH_LOCAL_r3*.json measured one 8-core window at
+    # 0.16x the adjacent 2-core window's memory bandwidth); min-of-3 filters
+    # weather much better than min-of-2 at ~5 min per extra rep
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     runs_n, runs_4n = [], []
     for _ in range(reps):
         runs_n.append(_probe_subprocess(SCALE_N, SCALING_CONVS))

@@ -281,6 +281,15 @@ class IndexBuilder:
 
         fault_after = int(os.environ.get("FAULT_AFTER_SHARD", "-1"))
         stats_b = self.spark.read.parquet(self._path("stats/terms"))
+        # avgdl collected ONCE from the tiny coll table (one row per
+        # language) instead of letting each shard group's build_postings
+        # re-derive it from stats/terms
+        coll_rows = self.spark.read.parquet(self._path("stats/coll")).collect()
+        avgdl_by = (
+            {r[lang]: float(r["avgdl"]) for r in coll_rows}
+            if lang
+            else {None: float(coll_rows[0]["avgdl"])}
+        )
         tf_cols = ["term", "docid", "doc_ord", "tf", "dl"] + ([lang] if lang else [])
         for g in range(self.cfg.index.n_shard_groups):
             stage = f"postings/group={g}"
@@ -297,6 +306,7 @@ class IndexBuilder:
                 self.cfg.index,
                 self.cfg.bm25,
                 lang_col=lang,
+                avgdl_by_lang=avgdl_by,
             )
             # metrics observed on the write — no re-read; terms counted
             # exactly as sum(seg_id == 0) (one zeroth segment per term, so no
