@@ -3,7 +3,12 @@
 
     spark-submit --py-files dist/document_retrieval_spark.zip scripts/query.py \
         --index /path/to/index --queries queries.parquet --out results.parquet \
-        [--k 10] [--scorer wand|exhaustive-like] [--submission submission.csv]
+        [--k 10] [--scorer wand|docpart] [--submission submission.csv]
+
+--scorer wand (default) parallelizes across queries (batch throughput);
+--scorer docpart fans each query out over doc-ordinal range buckets
+(single-/few-query latency on an otherwise idle cluster) — both layouts are
+rank- and score-identical (tests/test_wand.py).
 
 --submission additionally writes the reference's submission-CSV shape
 (id, docids list) — `bm25_ranking.ipynb cell 7:1-5`.
@@ -35,6 +40,7 @@ def main(argv=None) -> int:
                          "partition-pruned to the touched languages)")
     ap.add_argument("--length-norm", choices=["reference", "standard"],
                     default="reference")
+    ap.add_argument("--scorer", choices=["wand", "docpart"], default="wand")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -43,7 +49,7 @@ def main(argv=None) -> int:
     from document_retrieval_spark.config import REFERENCE_PROFILE, BM25Config
     from document_retrieval_spark.index import load_index
     from document_retrieval_spark.query import prepare_query_terms
-    from document_retrieval_spark.query.wand import wand_topk
+    from document_retrieval_spark.query.wand import wand_topk, wand_topk_docpart
     from document_retrieval_spark.session import get_spark
 
     spark = get_spark("query", master=args.master)
@@ -56,10 +62,18 @@ def main(argv=None) -> int:
     qt = prepare_query_terms(
         queries, REFERENCE_PROFILE, bm25, lang_col=args.lang_col
     )
-    topk = wand_topk(
-        qt, idx.postings, idx.doc_map, idx.coll, bm25, k=args.k,
-        lang_col=args.lang_col,
-    )
+    if args.scorer == "docpart":
+        if args.lang_col:
+            ap.error("--scorer docpart routes on global doc ordinals; "
+                     "use the default wand scorer with --lang-col")
+        topk = wand_topk_docpart(
+            qt, idx.postings, idx.doc_map, idx.coll, bm25, k=args.k,
+        )
+    else:
+        topk = wand_topk(
+            qt, idx.postings, idx.doc_map, idx.coll, bm25, k=args.k,
+            lang_col=args.lang_col,
+        )
     topk.write.mode("overwrite").parquet(args.out)
 
     if args.submission:
