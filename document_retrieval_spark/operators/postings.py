@@ -212,6 +212,7 @@ def build_postings(
     seg_postings: int = 128 * 1024,
     lang_col: str | None = None,
     avgdl_by_lang: dict | float | None = None,
+    stats_broadcast: bool = True,
 ) -> DataFrame:
     """-> encoded postings table:
     (term, shard, seg_id, n_segs, df, idf, n_postings, first_ord, last_ord,
@@ -229,6 +230,12 @@ def build_postings(
     ~3 B/posting compressed rows (cheap window by term).
     """
     keys = ["term"] + ([lang_col] if lang_col else [])
+    # stats_broadcast=False for extreme vocabularies (~10^8+ terms at the
+    # 10^12-turn target, where a stats broadcast no longer fits an
+    # executor): both stats joins fall back to plain joins and AQE picks a
+    # shuffle strategy; the hot join then shuffles tf on term — acceptable
+    # because that is the very shuffle key the assembly repartition uses.
+    _maybe_b = F.broadcast if stats_broadcast else (lambda df: df)
     hot = term_stats.select(
         *keys, (F.col("df") > idx_cfg.salt_df_threshold).alias("is_hot")
     )
@@ -246,7 +253,7 @@ def build_postings(
             }
     elif not isinstance(avgdl_by_lang, dict):
         avgdl_by_lang = {None: float(avgdl_by_lang)}
-    salted = tf_ord.join(F.broadcast(hot), keys).withColumn(
+    salted = tf_ord.join(_maybe_b(hot), keys).withColumn(
         "salt",
         F.when(
             F.col("is_hot"),
@@ -282,7 +289,7 @@ def build_postings(
 
     w = Window.partitionBy(*keys).orderBy("first_ord")
     return (
-        seg.join(F.broadcast(term_stats.select(*keys, "df", "idf")), keys)
+        seg.join(_maybe_b(term_stats.select(*keys, "df", "idf")), keys)
         .withColumn(
             "shard", F.pmod(F.xxhash64("term"), F.lit(idx_cfg.n_shards)).cast("int")
         )
