@@ -152,3 +152,24 @@ def test_salting_splits_hot_terms(spark, index_tables):
     seg = postings.filter(postings.term == hottest["term"]).collect()
     total = sum(r["n_postings"] for r in seg)
     assert total == hottest["df"]
+
+
+def test_shuffle_stats_join_equals_broadcast(spark, index_tables):
+    """stats_broadcast=False (the extreme-vocab path: both stats joins
+    downgrade to shuffle joins) must produce an identical index."""
+    from document_retrieval_spark.operators.postings import (
+        build_postings,
+        decode_postings_df,
+    )
+
+    docs_ord, tf, stats, postings, cfg = index_tables
+    alt = build_postings(tf.join(docs_ord, "docid"), stats, cfg, BM25Config(),
+                         seg_postings=64, stats_broadcast=False)
+    want = {(r["term"], r["doc_ord"]): (r["tf"], r["dl"])
+            for r in decode_postings_df(postings).collect()}
+    got = {(r["term"], r["doc_ord"]): (r["tf"], r["dl"])
+           for r in decode_postings_df(alt).collect()}
+    assert got == want and len(got) > 0
+    # and a broadcast-free physical plan on the raw-posting side
+    plan = alt._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan  # sanity: mapInPandas path
