@@ -562,13 +562,26 @@ class LoadedIndex:
     doc_map: DataFrame
     coll: DataFrame
     term_stats: DataFrame
+    # root _manifest.json (config fingerprint incl. the BM25 variant the
+    # index was built with); None for indexes predating the manifest
+    manifest: dict | None = None
+
+    @property
+    def bm25_fingerprint(self) -> dict:
+        return (self.manifest or {}).get("fingerprint", {}).get("bm25", {})
 
 
 def load_index(spark: SparkSession, out_dir: str) -> LoadedIndex:
     out = out_dir.rstrip("/")
+    manifest = None
+    mpath = os.path.join(out, MANIFEST)
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            manifest = json.load(f)
     return LoadedIndex(
         postings=spark.read.parquet(f"{out}/postings"),
         doc_map=spark.read.parquet(f"{out}/doc_map"),
         coll=spark.read.parquet(f"{out}/stats/coll"),
         term_stats=spark.read.parquet(f"{out}/stats/terms"),
+        manifest=manifest,
     )

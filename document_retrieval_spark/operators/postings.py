@@ -51,13 +51,6 @@ BLOCK_SCHEMA = T.StructType(
     ]
 )
 
-SEGMENT_SCHEMA_FIELDS = """
-    term string, shard int, seg_id int, n_segs int,
-    df bigint, n_postings int, first_ord bigint, last_ord bigint,
-    max_q double
-"""
-
-
 def assign_doc_ordinals(docs: DataFrame, n_parts: int | None = None) -> DataFrame:
     """docs(docid, ...) -> + doc_ord (dense 0..N-1, ascending by docid).
 
@@ -162,7 +155,12 @@ def _encode_partitions(block_size: int, seg_postings: int, lang_col: str | None,
         tfs = pdf["tf"].to_numpy(np.int64)
         dls = pdf["dl"].to_numpy(np.int64)
         if lang_col:
-            avgdls = pd.Series(langs).map(avgdl_by_lang).to_numpy(np.float64)
+            # explicit dict lookup per distinct language: a missing (or NA)
+            # language must KeyError at build time, not silently map to NaN
+            # quotients and unusable block bounds
+            uniq, inv = np.unique(langs, return_inverse=True)
+            vals = np.array([avgdl_by_lang[u] for u in uniq], dtype=np.float64)
+            avgdls = vals[inv]
         else:
             avgdls = avgdl_by_lang[None]
         qs = _quotient_np(

@@ -296,6 +296,16 @@ def _cursors_from_pdf(pdf: pd.DataFrame, bm25: BM25Config, avgdl: float,
     cursors = []
     for ti, (term, grp) in enumerate(pdf.groupby("term", sort=True)):
         idf = float(grp["idf"].iloc[0])
+        if idf < 0.0:
+            # data-driven guard: an index persisted with idf_plus_one=False
+            # (BM25 variants 3/5) carries negative idf for df > N/2 terms;
+            # ub = idf*max_q would then be a LOWER bound and the pivot/
+            # block-max pruning silently drops true top-k members
+            raise ValueError(
+                f"negative idf ({idf}) for term {term!r}: WAND's block-max "
+                "upper bounds require idf >= 0 — variant-3/5 indexes must "
+                "be scored with the exhaustive join scorer"
+            )
         segs = [
             {
                 "first_ord": int(r.first_ord),

@@ -39,9 +39,11 @@ from pyspark.sql import DataFrame, SparkSession
 class SnapshotTable:
     """Versioned parquet table with atomic appends and time travel."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str,
+                 orphan_grace_s: float = 300.0):
         self.spark = spark
         self.path = path.rstrip("/")
+        self.orphan_grace_s = orphan_grace_s
         os.makedirs(os.path.join(self.path, "data"), exist_ok=True)
         os.makedirs(os.path.join(self.path, "snapshots"), exist_ok=True)
 
@@ -109,8 +111,26 @@ class SnapshotTable:
         # — under this table's single-writer contract it is reclaimable.
         # Without this, every later commit recomputes the same new_id from
         # the un-swapped VERSION and collides forever.
+        #
+        # The reclaim is gated on the orphan's age (orphan_grace_s): an
+        # orphan younger than the grace window could be a live committer
+        # mid-commit-window (out-of-contract concurrent writer), and
+        # deleting its file would silently drop its commit instead of
+        # letting it lose with an error at the O_EXCL create. Age is the
+        # disambiguator a lock-free single-pointer design has: a crashed
+        # writer's orphan only ever grows older, a live writer swaps VERSION
+        # within milliseconds of the create.
         cur = self.current_snapshot_id()
         if os.path.exists(snap_path) and (cur is None or new_id > cur):
+            age = time.time() - os.path.getmtime(snap_path)
+            if age < self.orphan_grace_s:
+                raise RuntimeError(
+                    f"snapshot {new_id} exists but is not committed and is "
+                    f"only {age:.1f}s old — either a concurrent writer is "
+                    f"mid-commit (unsupported: single-writer table) or a "
+                    f"writer crashed moments ago; retry after "
+                    f"{self.orphan_grace_s}s for automatic orphan reclaim"
+                )
             os.remove(snap_path)
         try:
             # O_EXCL create — the atomic loser-gets-an-error check (a plain

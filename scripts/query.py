@@ -55,6 +55,13 @@ def main(argv=None) -> int:
     spark = get_spark("query", master=args.master)
     bm25 = BM25Config(length_norm=args.length_norm)
     idx = load_index(spark, args.index)
+    if idx.bm25_fingerprint.get("idf_plus_one") is False:
+        ap.error(
+            "this index was built with idf_plus_one=False (BM25 variants "
+            "3/5); its persisted idf goes negative for common terms, which "
+            "breaks WAND's upper bounds — score it with the exhaustive "
+            "join scorer over the index's tf/stats tables instead"
+        )
     if args.queries.endswith(".csv"):
         queries = spark.read.csv(args.queries, header=True)
     else:

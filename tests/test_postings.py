@@ -163,13 +163,25 @@ def test_shuffle_stats_join_equals_broadcast(spark, index_tables):
     )
 
     docs_ord, tf, stats, postings, cfg = index_tables
-    alt = build_postings(tf.join(docs_ord, "docid"), stats, cfg, BM25Config(),
-                         seg_postings=64, stats_broadcast=False)
-    want = {(r["term"], r["doc_ord"]): (r["tf"], r["dl"])
-            for r in decode_postings_df(postings).collect()}
-    got = {(r["term"], r["doc_ord"]): (r["tf"], r["dl"])
-           for r in decode_postings_df(alt).collect()}
-    assert got == want and len(got) > 0
-    # and a broadcast-free physical plan on the raw-posting side
-    plan = alt._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" not in plan  # sanity: mapInPandas path
+    # disable size-based broadcast conversion so the un-hinted joins really
+    # execute as shuffle joins (on fixture-sized stats AQE would otherwise
+    # silently broadcast them and this test would exercise nothing new)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # seg_postings=63 (not the fixture's 64): an identical closure would
+        # cache-match the fixture's CACHED postings plan (CacheManager
+        # canonicalization erases broadcast hints) and serve the broadcast
+        # plan from cache; decoded content is segmentation-invariant
+        alt = build_postings(tf.join(docs_ord, "docid"), stats, cfg,
+                             BM25Config(), seg_postings=63,
+                             stats_broadcast=False)
+        want = {(r["term"], r["doc_ord"]): (r["tf"], r["dl"])
+                for r in decode_postings_df(postings).collect()}
+        got = {(r["term"], r["doc_ord"]): (r["tf"], r["dl"])
+               for r in decode_postings_df(alt).collect()}
+        assert got == want and len(got) > 0
+        plan = alt._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

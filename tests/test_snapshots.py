@@ -94,6 +94,16 @@ def test_orphan_snapshot_recovery(spark, table):
                    "summary": {"added_files": 1, "total_files": 2}}, f)
     assert table.current_snapshot_id() == 1
 
+    # a YOUNG orphan is ambiguous (could be a live committer mid-window):
+    # the commit refuses rather than silently erasing it
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="not committed"):
+        table.commit_append(spark.createDataFrame(tr, schema=schema))
+
+    # age the orphan past the grace window -> reclaimable crash debris
+    old_t = 0
+    os.utime(orphan, (old_t, old_t))
+
     # commit succeeds, takes id 2, and the orphan's file list is discarded
     s2 = table.commit_append(
         spark.createDataFrame(tr.assign(conv_id=tr.conv_id + "_c"), schema=schema)

@@ -154,3 +154,28 @@ def test_docpart_equals_per_query_wand(built, queries_df, queries_pdf):
               for r in wand_topk_docpart(qt, postings, docs_ord, coll, bm25,
                                          k=K, n_buckets=n_buckets).collect()}
         assert dp == base, n_buckets
+
+
+def test_wand_refuses_negative_idf(spark, built, queries_df):
+    """A variant-3/5 stats table (idf without the +1 goes negative for
+    df > N/2) must make WAND raise, not silently mis-prune: negative idf
+    turns the block-max upper bounds into lower bounds."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import PythonException
+
+    from document_retrieval_spark.operators.postings import build_postings
+    from document_retrieval_spark.query.wand import wand_topk
+
+    docs, docs_ord, tf, coll, stats, _ = built
+    neg_stats = stats.withColumn(
+        "idf",
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+    )
+    cfg = IndexConfig(n_shards=8, salt_df_threshold=10, n_salts=4, block_size=8)
+    neg_postings = build_postings(
+        tf.join(docs_ord, "docid"), neg_stats, cfg, BM25Config(), seg_postings=32
+    )
+    bm25 = BM25Config()
+    qt = prepare_query_terms(queries_df, REFERENCE_PROFILE, bm25)
+    with pytest.raises(PythonException, match="negative idf"):
+        wand_topk(qt, neg_postings, docs_ord, coll, bm25, k=K).collect()
