@@ -175,7 +175,12 @@ def _build_and_query(spark, tr_pdf, q_pdf, k=10):
 
     t0 = time.time()
     qt = prepare_query_terms(queries, REFERENCE_PROFILE, bm25)
-    res = wand_topk(qt, postings, docs_ord, coll, bm25, k=k)
+    # query-partition granularity by corpus size (known driver-side): big
+    # batches want fine tasks (skew smoothing beats the ~25 ms/task
+    # overhead), small ones the reverse — both measured, see wand_topk
+    par = spark.sparkContext.defaultParallelism
+    nqp = par * 8 if len(tr_pdf) > 500_000 else par * 2
+    res = wand_topk(qt, postings, docs_ord, coll, bm25, k=k, n_query_parts=nqp)
     n_res = res.count()
     query_sec = time.time() - t0
     assert n_res > 0 and n_post > 0

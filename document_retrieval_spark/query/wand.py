@@ -244,6 +244,7 @@ def wand_topk(
     lang_col: str | None = None,
     terms: list[str] | None = None,
     max_pushdown_terms: int = 50_000,
+    n_query_parts: int | None = None,
 ) -> DataFrame:
     """-> (query_id, rank, docid, score).
 
@@ -277,8 +278,15 @@ def wand_topk(
     # spark.sql.shuffle.partitions buckets the slowest bucket gates the
     # stage. HashPartitioning on query_id satisfies the groupBy's required
     # distribution, so this is ONE shuffle, just finer-grained — tasks pack
-    # onto cores as they free up (measured ~12% on the 1M-turn batch).
-    n_parts = touched.sparkSession.sparkContext.defaultParallelism * 8
+    # onto cores as they free up. The default (8x defaultParallelism) is
+    # tuned for at-scale batches where per-task kernel work dwarfs the
+    # ~25 ms per-task Arrow/launch overhead (measured +12% on a 1M-turn
+    # batch, WAND phase 2->8-core speedup 2.4x -> 4.0x); for SMALL corpora
+    # the overhead dominates — pass n_query_parts ~ 2x parallelism there
+    # (measured: 129k-turn batch 4.8-6.2 s at 8x vs 3.8-3.9 s at 2x).
+    n_parts = n_query_parts or (
+        touched.sparkSession.sparkContext.defaultParallelism * 8
+    )
     res = touched.repartition(n_parts, "query_id").groupBy("query_id").applyInPandas(
         score_group, schema="query_id string, rank int, doc_ord long, score double"
     )
