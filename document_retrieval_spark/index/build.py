@@ -562,6 +562,9 @@ class LoadedIndex:
     doc_map: DataFrame
     coll: DataFrame
     term_stats: DataFrame
+    # the staged long-form tf table (S7): the exhaustive scorer's input —
+    # the only scorer valid for variant-3/5 indexes (negative idf)
+    tf: DataFrame | None = None
     # root _manifest.json (config fingerprint incl. the BM25 variant the
     # index was built with); None for indexes predating the manifest
     manifest: dict | None = None
@@ -578,10 +581,14 @@ def load_index(spark: SparkSession, out_dir: str) -> LoadedIndex:
     if os.path.exists(mpath):
         with open(mpath) as f:
             manifest = json.load(f)
+    tf = None
+    if os.path.isdir(f"{out}/tf"):
+        tf = spark.read.parquet(f"{out}/tf")
     return LoadedIndex(
         postings=spark.read.parquet(f"{out}/postings"),
         doc_map=spark.read.parquet(f"{out}/doc_map"),
         coll=spark.read.parquet(f"{out}/stats/coll"),
         term_stats=spark.read.parquet(f"{out}/stats/terms"),
+        tf=tf,
         manifest=manifest,
     )

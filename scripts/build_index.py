@@ -42,7 +42,12 @@ def main(argv=None) -> int:
                          "column (one model per language, postings partitioned "
                          "by language — `final_implementation.py:300-326`)")
     ap.add_argument("--length-norm", choices=["reference", "standard"],
-                    default="reference")
+                    default=None, help="overrides the variant's norm")
+    ap.add_argument("--bm25-variant", type=int, choices=[1, 2, 3, 5], default=1,
+                    help="SURVEY §2.9 scoring variant baked into the "
+                         "persisted stats/postings: 1 reference (default), "
+                         "2 standard norm, 3/5 negative-idf forms (query "
+                         "them with --scorer exhaustive; WAND refuses)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -69,9 +74,19 @@ def main(argv=None) -> int:
     else:
         ap.error("need --transcripts or --synthesize")
 
+    variant_cfg = {
+        1: {},
+        2: {"length_norm": "standard"},
+        3: {"idf_plus_one": False, "length_norm": "standard",
+            "dl_mode": "query_terms", "unique_query_terms": False},
+        5: {"idf_plus_one": False, "length_norm": "standard",
+            "unique_query_terms": False},
+    }[args.bm25_variant]
+    if args.length_norm:
+        variant_cfg = {**variant_cfg, "length_norm": args.length_norm}
     cfg = EngineConfig(
         tokenizer=REFERENCE_PROFILE,
-        bm25=BM25Config(length_norm=args.length_norm),
+        bm25=BM25Config(**variant_cfg),
         index=IndexConfig(
             n_shards=args.shards,
             n_shard_groups=args.groups,

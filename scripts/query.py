@@ -39,8 +39,15 @@ def main(argv=None) -> int:
                          "index (queries must carry this column; postings are "
                          "partition-pruned to the touched languages)")
     ap.add_argument("--length-norm", choices=["reference", "standard"],
-                    default="reference")
-    ap.add_argument("--scorer", choices=["wand", "docpart"], default="wand")
+                    default=None,
+                    help="override the index manifest's norm (default: "
+                         "score with the config the index was built with)")
+    ap.add_argument("--scorer", choices=["wand", "docpart", "exhaustive"],
+                    default="wand",
+                    help="wand = per-query batch layout; docpart = doc-range "
+                         "fan-out (single-query latency); exhaustive = join "
+                         "scorer over the staged tf table (required for "
+                         "variant-3/5 indexes whose idf goes negative)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -53,14 +60,20 @@ def main(argv=None) -> int:
     from document_retrieval_spark.session import get_spark
 
     spark = get_spark("query", master=args.master)
-    bm25 = BM25Config(length_norm=args.length_norm)
     idx = load_index(spark, args.index)
-    if idx.bm25_fingerprint.get("idf_plus_one") is False:
+    # score with the variant the index was built with (its idf/quotients
+    # are baked into stats/postings); --length-norm overrides explicitly
+    fp = idx.bm25_fingerprint
+    bm25 = BM25Config(**fp) if fp else BM25Config()
+    if args.length_norm:
+        from dataclasses import replace
+
+        bm25 = replace(bm25, length_norm=args.length_norm)
+    if fp.get("idf_plus_one") is False and args.scorer != "exhaustive":
         ap.error(
             "this index was built with idf_plus_one=False (BM25 variants "
             "3/5); its persisted idf goes negative for common terms, which "
-            "breaks WAND's upper bounds — score it with the exhaustive "
-            "join scorer over the index's tf/stats tables instead"
+            "breaks WAND's upper bounds — query it with --scorer exhaustive"
         )
     if args.queries.endswith(".csv"):
         queries = spark.read.csv(args.queries, header=True)
@@ -69,7 +82,23 @@ def main(argv=None) -> int:
     qt = prepare_query_terms(
         queries, REFERENCE_PROFILE, bm25, lang_col=args.lang_col
     )
-    if args.scorer == "docpart":
+    if args.scorer == "exhaustive":
+        from document_retrieval_spark.query.bm25 import bm25_score_exhaustive
+
+        if idx.tf is None:
+            ap.error("index has no staged tf/ table (required by the "
+                     "exhaustive scorer)")
+        topk = bm25_score_exhaustive(
+            qt,
+            idx.tf.select("term", "docid", "tf",
+                          *([args.lang_col] if args.lang_col else [])),
+            idx.term_stats,
+            idx.doc_map.select("docid", "dl"),
+            bm25,
+            k=args.k,
+            lang_col=args.lang_col,
+        )
+    elif args.scorer == "docpart":
         if args.lang_col:
             ap.error("--scorer docpart routes on global doc ordinals; "
                      "use the default wand scorer with --lang-col")
