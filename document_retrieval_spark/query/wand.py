@@ -424,6 +424,13 @@ def wand_topk_docpart(
     `bm25_ranking.ipynb cell 7`)."""
     from ..operators.topk import topk_per_group
 
+    extra = [c for c in coll.columns if c not in ("n_docs", "avgdl")]
+    if extra:
+        raise ValueError(
+            "wand_topk_docpart requires the single-row global collection "
+            f"model; coll carries partition column(s) {extra} — use "
+            "wand_topk with lang_col for a language-partitioned index"
+        )
     touched = _touched_segments(
         query_terms, postings, coll, bm25, None, terms, max_pushdown_terms
     )
@@ -431,14 +438,26 @@ def wand_topk_docpart(
     if n_buckets is None:
         n_buckets = spark.sparkContext.defaultParallelism * 2
     if n_docs is None:  # latency-sensitive callers pass it to skip the job
-        n_docs = int(coll.select("n_docs").first()["n_docs"])
+        rows = coll.select("n_docs").collect()
+        if len(rows) != 1:
+            raise ValueError(
+                "wand_topk_docpart routes on GLOBAL doc ordinals and a "
+                f"single collection model; coll has {len(rows)} rows (a "
+                "language-partitioned stats table) — use wand_topk with "
+                "lang_col instead"
+            )
+        n_docs = int(rows[0]["n_docs"])
     width = max(1, -(-n_docs // n_buckets))
+    # exact INTEGER division for bucket ids: float `/` then floor is exact
+    # today but a half-ulp rounding near a bucket boundary at 10^12 doc
+    # ordinals would route a segment to the wrong bucket range and its
+    # boundary docs would never be scored; `div` is also cheaper.
     buckets = touched.withColumn(
         "bucket",
         F.explode(
             F.sequence(
-                F.floor(F.col("first_ord") / width).cast("int"),
-                F.floor(F.col("last_ord") / width).cast("int"),
+                F.expr(f"first_ord div {width}").cast("int"),
+                F.expr(f"last_ord div {width}").cast("int"),
             )
         ),
     )

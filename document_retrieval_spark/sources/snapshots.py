@@ -131,7 +131,31 @@ class SnapshotTable:
                     f"writer crashed moments ago; retry after "
                     f"{self.orphan_grace_s}s for automatic orphan reclaim"
                 )
-            os.remove(snap_path)
+            # Reclaim by renaming ASIDE, never unlinking: an out-of-contract
+            # concurrent writer that passed the same checks may have created
+            # AND committed snap_path between our age check and this point
+            # (VERSION swaps only ms after its O_EXCL create). A committed
+            # snapshot file must never be deleted, so (1) move the file
+            # aside, (2) re-read VERSION: if it reached new_id the orphan
+            # was actually committed — restore it and lose cleanly. The
+            # aside file is kept as a tombstone (readers never list it:
+            # snapshots resolve by exact snap-<id>.json name), so even the
+            # residual commit-after-recheck window fails loudly
+            # (FileNotFoundError in read()) and is hand-recoverable, rather
+            # than silently serving a table whose snapshot file is gone.
+            aside = snap_path + f".orphan-{uuid.uuid4().hex[:8]}"
+            try:
+                os.replace(snap_path, aside)
+            except FileNotFoundError:
+                pass  # a concurrent reclaimer won; O_EXCL below arbitrates
+            else:
+                if self.current_snapshot_id() == new_id:
+                    os.replace(aside, snap_path)
+                    raise RuntimeError(
+                        f"snapshot {new_id} was committed by a concurrent "
+                        "writer during orphan reclaim (unsupported: "
+                        "single-writer table)"
+                    )
         try:
             # O_EXCL create — the atomic loser-gets-an-error check (a plain
             # exists() test would be a TOCTOU race between two committers)

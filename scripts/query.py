@@ -65,7 +65,21 @@ def main(argv=None) -> int:
     # are baked into stats/postings); --length-norm overrides explicitly
     fp = idx.bm25_fingerprint
     bm25 = BM25Config(**fp) if fp else BM25Config()
-    if args.length_norm:
+    if args.length_norm and args.length_norm != bm25.length_norm:
+        if args.scorer != "exhaustive":
+            # block/segment max_q bounds are baked at build time with the
+            # build-time norm (operators/postings.py _quotient_np): scoring
+            # with a different norm makes cursor scores exceed the stored
+            # bounds and WAND silently drops true top-k docs. Only the
+            # exhaustive scorer (which derives quotients from tf at query
+            # time) may override the manifest's norm.
+            ap.error(
+                f"--length-norm {args.length_norm} differs from the norm "
+                f"this index was built with ({bm25.length_norm}); the "
+                "persisted block-max bounds are only valid for the "
+                "build-time norm, so the wand/docpart scorers would prune "
+                "true top-k docs — use --scorer exhaustive or rebuild"
+            )
         from dataclasses import replace
 
         bm25 = replace(bm25, length_norm=args.length_norm)

@@ -111,3 +111,70 @@ def test_orphan_snapshot_recovery(spark, table):
     assert s2 == 2 and table.current_snapshot_id() == 2
     assert table.read().count() == 2 * n1
     assert "data/bogus-crashed.parquet" not in table.snapshot(2)["files"]
+
+
+def test_orphan_reclaim_never_unlinks_a_committed_snapshot(spark, table,
+                                                           monkeypatch):
+    """ADVICE r3 TOCTOU: a writer that passed the exists/age check must not
+    delete a snap-<id>.json that a concurrent writer created AND committed
+    in the window. The reclaim renames aside and re-reads VERSION: if it
+    reached new_id, the file is restored and the commit loses loudly."""
+    import json
+    import os
+
+    tr = gen_transcripts(10, seed=15)
+    schema = transcripts_schema()
+    table.commit_append(spark.createDataFrame(tr, schema=schema))
+
+    # an AGED snap-2.json that (from this writer's view) looks like crash
+    # debris, but whose writer will "commit" VERSION=2 between our age
+    # check and the reclaim — simulated by making the VERSION re-read
+    # (second call and later) observe the concurrent commit
+    orphan = os.path.join(table.path, "snapshots", "snap-2.json")
+    committed_files = ["data/committed-by-other-writer.parquet"]
+    with open(orphan, "x") as f:
+        json.dump({"id": 2, "parent": 1, "ts": 0.0, "files": committed_files,
+                   "summary": {"added_files": 1, "total_files": 1}}, f)
+    os.utime(orphan, (0, 0))
+
+    real = type(table).current_snapshot_id
+    calls = {"n": 0}
+
+    def racing(self):
+        calls["n"] += 1
+        if calls["n"] >= 3:  # the re-read after rename-aside
+            return 2
+        return real(self)
+
+    monkeypatch.setattr(type(table), "current_snapshot_id", racing)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="committed by a concurrent"):
+        table.commit_append(spark.createDataFrame(tr, schema=schema))
+    monkeypatch.undo()
+
+    # the concurrently-committed snapshot file survived, content intact
+    with open(orphan) as f:
+        assert json.load(f)["files"] == committed_files
+
+
+def test_orphan_reclaim_leaves_tombstone(spark, table):
+    """Reclaimed orphans are renamed aside (snap-<id>.json.orphan-*), never
+    unlinked, so even the residual out-of-contract window is recoverable."""
+    import json
+    import os
+
+    tr = gen_transcripts(10, seed=16)
+    schema = transcripts_schema()
+    table.commit_append(spark.createDataFrame(tr, schema=schema))
+    orphan = os.path.join(table.path, "snapshots", "snap-2.json")
+    with open(orphan, "x") as f:
+        json.dump({"id": 2, "parent": 1, "ts": 0.0,
+                   "files": ["data/crashed.parquet"],
+                   "summary": {"added_files": 1, "total_files": 1}}, f)
+    os.utime(orphan, (0, 0))
+    assert table.commit_append(spark.createDataFrame(tr, schema=schema)) == 2
+    snaps = os.listdir(os.path.join(table.path, "snapshots"))
+    tombs = [n for n in snaps if n.startswith("snap-2.json.orphan-")]
+    assert len(tombs) == 1
+    # readers never resolve the tombstone: snapshot 2 is the new commit
+    assert "data/crashed.parquet" not in table.snapshot(2)["files"]

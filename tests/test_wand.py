@@ -179,3 +179,25 @@ def test_wand_refuses_negative_idf(spark, built, queries_df):
     qt = prepare_query_terms(queries_df, REFERENCE_PROFILE, bm25)
     with pytest.raises(PythonException, match="negative idf"):
         wand_topk(qt, neg_postings, docs_ord, coll, bm25, k=K).collect()
+
+
+def test_docpart_refuses_lang_partitioned_coll(built, queries_df):
+    """ADVICE r3: wand_topk_docpart routes on GLOBAL doc ordinals; handed a
+    language-partitioned stats table it would score every language's
+    segments against an arbitrary avgdl. It must raise, not mis-score."""
+    from pyspark.sql import functions as F
+
+    from document_retrieval_spark.query.wand import wand_topk_docpart
+
+    docs, docs_ord, tf, coll, stats, postings = built
+    bm25 = BM25Config()
+    qt = prepare_query_terms(queries_df, REFERENCE_PROFILE, bm25)
+    lang_coll = coll.withColumn("lang", F.lit("en")).select(
+        "lang", "n_docs", "avgdl"
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        wand_topk_docpart(qt, postings, docs_ord, lang_coll, bm25, k=K)
+    # and a multi-row coll without a partition column (defensive second net)
+    two_row = coll.unionByName(coll)
+    with pytest.raises(ValueError, match="2 rows"):
+        wand_topk_docpart(qt, postings, docs_ord, two_row, bm25, k=K)
