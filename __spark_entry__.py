@@ -197,6 +197,39 @@ _ANN_BASE = f"""
 """
 
 
+
+def _stemmed_bm25_sql() -> str:
+    """Oracle twin of bm25_topk_stemmed: scores from the SAME engine-staged
+    stemmed tf parquet the Spark query scores from (.staged/stemmed_tf/).
+    Pinned to sf0.01 — the driver's correctness scale; the Spark side
+    (re)writes this table deterministically whenever the gate runs."""
+    path = os.path.join(_stemmed_tf_path("sf0.01"), "*.parquet")
+    return f"""
+WITH tf AS (SELECT doc_id, term, tf, dl FROM read_parquet('{path}')),
+d AS (SELECT doc_id, any_value(dl) AS dl FROM tf GROUP BY doc_id),
+coll AS (SELECT count(*) AS n_docs,
+                CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM d),
+stats AS (SELECT term, count(*) AS df,
+                 ln(1 + (((SELECT n_docs FROM coll) - count(*) + 0.5)
+                         / (count(*) + 0.5))) AS idf
+          FROM tf GROUP BY term),
+qterms AS (SELECT DISTINCT query_id, term
+           FROM (VALUES {_stemmed_query_values()}) q(query_id, term)),
+cand AS (SELECT qt.query_id, tf.doc_id,
+                s.idf * tf.tf * ({K1} + 1.0)
+                / (tf.tf + {K1} * (1.0 - {B} + 1.0 * tf.dl
+                                   / (SELECT avgdl FROM coll))) AS term_score
+         FROM tf JOIN qterms qt USING (term) JOIN stats s USING (term)),
+scored AS (SELECT query_id, doc_id, round(sum(term_score), 6) AS score
+           FROM cand GROUP BY query_id, doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+           FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     sw = "('a','an','and','are','as','at','be','by','for','from','has','he'," \
          "'in','is','it','its','of','on','that','the','to','was','were','will','with')"
@@ -224,6 +257,7 @@ FROM tf GROUP BY term
         # partitioned WAND — one oracle, two physical layouts
         "bm25_topk_docpart": _bm25_sql(K1, B, standard=False),
         "bm25_topk_standard": _bm25_sql(K1, B, standard=True),
+        "bm25_topk_stemmed": _stemmed_bm25_sql(),
         "bm25_topk_v3": _bm25_variant_sql(query_terms_dl=True),
         "bm25_topk_v5": _bm25_variant_sql(query_terms_dl=False),
         "bm25_per_lang_topk": f"""
@@ -1152,51 +1186,108 @@ def _q_bm25_topk_v5(spark, sf_dir):
     return _bm25_variant_ranked(spark, sf_dir, dl_mode="full")
 
 
+def _stemmed_tf_path(sf_dir: str) -> str:
+    return os.path.join(
+        _HERE, ".staged", "stemmed_tf",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+
+
+def _stemmed_profile():
+    from document_retrieval_spark.config import TokenizerConfig
+
+    return TokenizerConfig(
+        lowercase=True, punct_mode="alnum_space", stopwords=(),
+        stem_lang="porter",
+    )
+
+
+def _stemmed_query_values() -> str:
+    """The inline QUERIES stemmed with the SAME hermetic Porter pipeline the
+    engine uses, rendered as SQL VALUES — the oracle twin's query side."""
+    import re
+
+    from document_retrieval_spark.functions.stem import porter_stem
+
+    rows = []
+    for qid, qtext in QUERIES:
+        toks = [
+            t
+            for t in re.sub(r"[^a-zA-Z0-9\s]", " ", qtext.lower()).split()
+            if t
+        ]
+        for stem in dict.fromkeys(porter_stem(t) for t in toks):
+            rows.append(f"('{qid}', '{stem}')")
+    return ", ".join(rows)
+
+
 def _q_bm25_topk_stemmed(spark, sf_dir):
     """BM25 top-10 over a PORTER-STEMMED pipeline (F4c,
     `text_preprocessing_and_tfidf.py:29`), hermetic pure-Python stemmer
-    (functions/stem.py). No oracle_sql twin: DuckDB cannot stem (the fts
-    extension is unavailable offline), so the driver records the weaker
-    rows-only check; full rank-identity vs the stemming NumPy oracle is
-    covered by tests/test_stem.py."""
+    (functions/stem.py). DuckDB cannot stem offline (no fts extension), so
+    the DETERMINISTIC stemmed tf table is materialized engine-side under
+    .staged/stemmed_tf/<sf>/ and BOTH sides score from that same parquet:
+    the oracle twin (read_parquet) hash-checks the whole scoring pipeline,
+    while stemmer correctness itself is covered by the differential tests
+    in tests/test_stem.py (engine vs independent NumPy/pure-Python oracle).
+    """
     from pyspark.sql import functions as F
 
-    from document_retrieval_spark.config import BM25Config, TokenizerConfig
+    from document_retrieval_spark.config import BM25Config
     from document_retrieval_spark.operators.stats import (
-        build_term_stats,
-        collection_stats,
         term_frequencies,
         tokenize_documents,
     )
     from document_retrieval_spark.operators.topk import topk_per_group
-    from document_retrieval_spark.query.bm25 import prepare_query_terms
-
-    profile = TokenizerConfig(
-        lowercase=True, punct_mode="alnum_space", stopwords=(),
-        stem_lang="porter",
+    from document_retrieval_spark.query.bm25 import (
+        bm25_term_score,
+        prepare_query_terms,
     )
+
+    profile = _stemmed_profile()
     bm25 = BM25Config()
     docs = tokenize_documents(
-        _docs(spark, sf_dir).selectExpr("doc_id", "text"), profile
+        _docs(spark, sf_dir).selectExpr("doc_id as docid", "text"), profile
     )
-    tf = term_frequencies(docs.withColumnRenamed("doc_id", "docid"))
-    stats = build_term_stats(tf, collection_stats(docs))
-    qt = prepare_query_terms(_query_df(spark), profile, bm25)
-    from document_retrieval_spark.query.bm25 import bm25_term_score
-
-    scored = (
-        tf.join(F.broadcast(qt), "term")
-        .join(
-            F.broadcast(stats.select("term", "idf", "avgdl")), "term"
+    staged = (
+        term_frequencies(docs)
+        .join(docs.select("docid", "dl"), "docid")
+        .select(
+            F.col("docid").alias("doc_id"), "term", "tf",
+            F.col("dl").cast("int").alias("dl"),
         )
-        .join(docs.selectExpr("doc_id as docid", "dl"), "docid")
+    )
+    path = _stemmed_tf_path(sf_dir)
+    staged.coalesce(1).write.mode("overwrite").parquet(path)  # eager stage
+
+    tf = spark.read.parquet(path)
+    per_doc = tf.select("doc_id", "dl").distinct()
+    agg = per_doc.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("s")
+    ).collect()[0]
+    n_docs, avgdl = int(agg["n"]), float(agg["s"]) / int(agg["n"])
+    stats = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .withColumn(
+            "idf",
+            F.log1p(
+                (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ),
+        )
+    )
+    qt = prepare_query_terms(_query_df(spark), profile, bm25)
+    scored = (
+        tf.join(F.broadcast(qt.select("query_id", "term")), "term")
+        .join(F.broadcast(stats.select("term", "idf")), "term")
+        .withColumn("avgdl", F.lit(avgdl))
         .withColumn("term_score", bm25_term_score(bm25))
-        .groupBy("query_id", "docid")
+        .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("term_score"), 6).alias("score"))
     )
-    return (
-        topk_per_group(scored, ["query_id"], "score", "docid", k=10)
-        .select("query_id", "rank", F.col("docid").alias("doc_id"), "score")
+    return topk_per_group(scored, ["query_id"], "score", "doc_id", k=10).select(
+        "query_id", "rank", "doc_id", "score"
     )
 
 
