@@ -193,6 +193,7 @@ def embedding_near_dup_pairs(
     n_centroids: int = 8,
     n_assign: int = 2,
     train_iters: int = 0,
+    max_cluster_size: int | None = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs -> (vec_a, vec_b, cos) with
     cos >= threshold — the dense-vector member of the dedup family
@@ -205,6 +206,20 @@ def embedding_near_dup_pairs(
     join O(sum of cluster sizes squared), not O(n^2). train_iters=0 keeps
     the deterministic first-n centroids an SQL oracle can replicate; the
     trained path (kmeans_cosine_train) is the production setting.
+
+    Cluster-skew guard (the `max_shingle_df` analog for dense vectors): the
+    near-dup-boilerplate corpus — masses of near-identical vectors — is
+    exactly the input that collapses into ONE giant cluster and reverts the
+    within-cluster join to quadratic. Clusters larger than
+    `max_cluster_size` are therefore split into ceil(size/cap)
+    deterministic sub-buckets (xxhash64 of vec_id) and pairs are generated
+    only within a sub-bucket, bounding every task at O(cap^2). The
+    documented trade: near-dup pairs straddling two sub-buckets of an
+    oversized cluster are NOT emitted — for dedup that loses nothing in
+    practice (every sub-bucket of a boilerplate cluster still self-reports
+    its members as near-dups), and clusters under the cap are untouched
+    (bit-identical output, `tests/test_skew.py`). max_cluster_size=None
+    restores the unguarded exact-within-cluster behavior.
     """
     if train_iters > 0:
         centroids = kmeans_cosine_train(vectors, k=n_centroids, iters=train_iters)
@@ -219,14 +234,32 @@ def embedding_near_dup_pairs(
     assigned = topk_per_group(
         sim, ["vec_id"], "ccos", "centroid_id", n_assign, rank_col="crank"
     ).select("vec_id", "embedding", F.col("centroid_id").alias("cluster"))
+    pair_keys = ["cluster"]
+    if max_cluster_size is not None:
+        # cluster count is bounded by n_centroids — the size table is tiny
+        sizes = assigned.groupBy("cluster").agg(F.count("*").alias("_csize"))
+        assigned = assigned.join(F.broadcast(sizes), "cluster")
+        # exact integer arithmetic (`div`, not float /): a mis-rounded
+        # sub-bucket id would silently drop a member's pairs
+        nsub = F.expr(f"(_csize + {max_cluster_size} - 1) div {max_cluster_size}")
+        assigned = assigned.withColumn(
+            "sub",
+            F.when(
+                F.col("_csize") > max_cluster_size,
+                F.pmod(F.xxhash64("vec_id"), nsub),
+            ).otherwise(F.lit(0).cast("long")),
+        ).drop("_csize")
+        pair_keys = ["cluster", "sub"]
     a = assigned.select(
-        "cluster", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+        *pair_keys, F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
     )
     b = assigned.select(
-        "cluster", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+        *pair_keys, F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
     )
     return (
-        a.join(b, "cluster")
+        a.join(b, pair_keys)
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos", F.round(cosine_expr(F.col("emb_a"), F.col("emb_b")), 6))
         .filter(F.col("cos") >= threshold)

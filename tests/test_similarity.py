@@ -161,3 +161,69 @@ def test_ivf_search_empty_probes(spark, vectors, probes, tmp_path_factory):
     res = search_ivf_index(spark, path, empty, n_probe=2, k=5)
     assert res.count() == 0
     assert res.columns == ["probe_id", "rank", "vec_id", "cos"]
+
+
+def test_near_dup_cluster_skew_guard(spark, vectors):
+    """ADVICE r2/r3: a boilerplate corpus collapses into ONE cluster and the
+    within-cluster join goes quadratic. With max_cluster_size the oversized
+    cluster is split into deterministic sub-buckets: candidate pairs are
+    bounded ~O(n_sub * cap^2) instead of O(c^2), every member still
+    self-reports a near-dup, and under-cap inputs are bit-identical to the
+    unguarded operator."""
+    import pandas as pd
+
+    from document_retrieval_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    # 1) pathological fixture: 600 near-identical vectors -> one cluster
+    base = [1.0, 0.5, 0.25, 0.125]
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(600),
+            "embedding": [
+                [v + (i % 7) * 1e-6 for v in base] for i in range(600)
+            ],
+        }
+    )
+    boiler = spark.createDataFrame(pdf)
+    cap = 50
+    guarded = embedding_near_dup_pairs(
+        boiler, threshold=0.99, n_centroids=2, n_assign=1,
+        max_cluster_size=cap,
+    )
+    rows = guarded.collect()
+    # bounded: <= n_sub * C(bucketmax, 2) pairs, far under C(600, 2)
+    n_sub = -(-600 // cap)
+    assert 0 < len(rows) < 600 * 600 / 2
+    # every vector lands in some emitted pair (each sub-bucket has >= 2
+    # members of a boilerplate cluster, all with cos ~ 1)
+    seen = {r["vec_a"] for r in rows} | {r["vec_b"] for r in rows}
+    assert len(seen) == 600
+    # per-sub-bucket quadratic bound actually holds
+    import collections
+    deg = collections.Counter()
+    for r in rows:
+        deg[r["vec_a"]] += 1
+    # hash sub-bucketing is multinomial, not perfectly uniform: the bound
+    # is O(cap) per bucket up to hash variance, nowhere near the 600-member
+    # cluster
+    bucket_max = max(deg.values()) + 1
+    assert bucket_max <= 3 * cap
+
+    # 2) under the cap: identical output with and without the guard
+    unguarded = {
+        (r["vec_a"], r["vec_b"], r["cos"])
+        for r in embedding_near_dup_pairs(
+            vectors, threshold=0.4, n_centroids=8, n_assign=2,
+            max_cluster_size=None,
+        ).collect()
+    }
+    big_cap = {
+        (r["vec_a"], r["vec_b"], r["cos"])
+        for r in embedding_near_dup_pairs(
+            vectors, threshold=0.4, n_centroids=8, n_assign=2,
+            max_cluster_size=10_000,
+        ).collect()
+    }
+    assert big_cap == unguarded
