@@ -69,7 +69,7 @@ def assign_doc_ordinals(docs: DataFrame, n_parts: int | None = None) -> DataFram
 def _segment_schema(lang_col: str | None) -> str:
     lang = f"{lang_col} string, " if lang_col else ""
     return (
-        f"term string, {lang}"
+        f"term_id bigint, {lang}"
         "n_postings int, first_ord bigint, last_ord bigint, max_q double, "
         "blocks array<struct<base:bigint,last:bigint,n:int,max_q:double,"
         "docs:binary,tfs:binary,dls:binary>>"
@@ -135,14 +135,14 @@ def _encode_partitions(block_size: int, seg_postings: int, lang_col: str | None,
     idf, shard) and per-posting derivations have no business riding an
     O(postings) shuffle when they can be recomputed or re-joined over the
     ~1000x smaller encoded-segment rows."""
-    key_cols = ["term"] + ([lang_col] if lang_col else []) + ["salt"]
+    key_cols = ["term_id"] + ([lang_col] if lang_col else []) + ["salt"]
     out_cols = (
-        ["term"] + ([lang_col] if lang_col else [])
+        ["term_id"] + ([lang_col] if lang_col else [])
         + ["n_postings", "first_ord", "last_ord", "max_q", "blocks"]
     )
 
     def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
-        terms = pdf["term"].to_numpy()
+        terms = pdf["term_id"].to_numpy(np.int64)
         salts = pdf["salt"].to_numpy()
         change = np.ones(len(pdf), dtype=bool)
         change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
@@ -171,7 +171,7 @@ def _encode_partitions(block_size: int, seg_postings: int, lang_col: str | None,
             for part in _encode_group(
                 ords[s:e], tfs[s:e], dls[s:e], qs[s:e], block_size, seg_postings
             ):
-                row = {"term": terms[s], **part}
+                row = {"term_id": int(terms[s]), **part}
                 if lang_col:
                     row[lang_col] = langs[s]
                 rows.append(row)
@@ -234,9 +234,32 @@ def build_postings(
     # shuffle strategy; the hot join then shuffles tf on term — acceptable
     # because that is the very shuffle key the assembly repartition uses.
     _maybe_b = F.broadcast if stats_broadcast else (lambda df: df)
-    hot = term_stats.select(
-        *keys, (F.col("df") > idx_cfg.salt_df_threshold).alias("is_hot")
-    )
+    # INT TERM IDS through the posting shuffle: the raw-posting exchange
+    # (and its sort) keys and carries an int64 `term_id` instead of the
+    # term string — 2-5x fewer key bytes on realistic vocabularies, and the
+    # sort comparator becomes a long compare. Strings stay at the API
+    # boundary: the ~1000x-smaller encoded-segment rows re-join the
+    # dictionary below to restore (term[, lang]). Ids are dense ordinals
+    # over the (term[, lang]) stats keys — a vocab-sized sort, O(postings)
+    # cheaper than what it saves — unless the caller already ships
+    # `term_id` on BOTH inputs (the IndexBuilder persists it in
+    # stats/terms and tf so rebuilds and compactions skip the assignment).
+    if "term_id" in tf_ord.columns and "term_id" in term_stats.columns:
+        stats_id = term_stats
+        tf_src = tf_ord
+        hot = stats_id.select(
+            "term_id", (F.col("df") > idx_cfg.salt_df_threshold).alias("is_hot")
+        )
+        salted_src = tf_src.join(_maybe_b(hot), "term_id")
+    else:
+        from .ordinals import dense_rank_ordinals
+
+        stats_id = dense_rank_ordinals(term_stats, keys, "term_id")
+        hot = stats_id.select(
+            *keys, "term_id",
+            (F.col("df") > idx_cfg.salt_df_threshold).alias("is_hot"),
+        )
+        salted_src = tf_ord.join(_maybe_b(hot), keys)
     # avgdl reaches the encoder as a broadcast scalar per language (one tiny
     # collect), NOT as an O(postings) shuffle column
     if avgdl_by_lang is None:
@@ -251,7 +274,7 @@ def build_postings(
             }
     elif not isinstance(avgdl_by_lang, dict):
         avgdl_by_lang = {None: float(avgdl_by_lang)}
-    salted = tf_ord.join(_maybe_b(hot), keys).withColumn(
+    salted = salted_src.withColumn(
         "salt",
         F.when(
             F.col("is_hot"),
@@ -269,11 +292,11 @@ def build_postings(
     # (df, idf, shard) re-attach over the encoded-segment rows below —
     # dropping ~28 uncompressible bytes from every raw posting row.
     lang_flat = [lang_col] if lang_col else []
-    flat_cols = ["term", *lang_flat, "salt", "doc_ord",
+    flat_cols = ["term_id", *lang_flat, "salt", "doc_ord",
                  F.col("tf").cast("int").alias("tf"),
                  F.col("dl").cast("int").alias("dl")]
-    parted = salted.select(*flat_cols).repartition(*keys, "salt")
-    parted = parted.sortWithinPartitions(*keys, "salt", "doc_ord")
+    parted = salted.select(*flat_cols).repartition("term_id", "salt")
+    parted = parted.sortWithinPartitions("term_id", "salt", "doc_ord")
     seg = parted.mapInPandas(
         _encode_partitions(idx_cfg.block_size, seg_postings, lang_col,
                            bm25, avgdl_by_lang),
@@ -285,16 +308,23 @@ def build_postings(
     # of ~#postings raw rows
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*keys).orderBy("first_ord")
+    # restore the string boundary: segments (term_id) |><| dictionary
+    # (term_id -> term[, lang], df, idf) over vocab-sized rows; seg_id /
+    # n_segs window now partitions on the int id
+    if lang_col:
+        seg = seg.drop(lang_col)  # restored (with term) by the dict join
+    w = Window.partitionBy("term_id").orderBy("first_ord")
     return (
-        seg.join(_maybe_b(term_stats.select(*keys, "df", "idf")), keys)
+        seg.join(
+            _maybe_b(stats_id.select(*keys, "term_id", "df", "idf")), "term_id"
+        )
         .withColumn(
             "shard", F.pmod(F.xxhash64("term"), F.lit(idx_cfg.n_shards)).cast("int")
         )
         .withColumn("seg_id", (F.row_number().over(w) - 1).cast("int"))
         .withColumn(
             "n_segs",
-            F.count("*").over(Window.partitionBy(*keys)).cast("int"),
+            F.count("*").over(Window.partitionBy("term_id")).cast("int"),
         )
         .select(
             *keys, "shard", "seg_id", "n_segs", "df", "idf",
