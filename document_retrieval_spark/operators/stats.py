@@ -56,10 +56,52 @@ def term_frequencies(tok_docs: DataFrame, lang_col: str | None = None) -> DataFr
     )
 
 
+def build_term_dictionary(
+    transcripts: DataFrame,
+    cfg: TokenizerConfig,
+    lang_col: str | None = None,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """(term[, lang], term_id) — dense int64 ids over the corpus
+    vocabulary, ordered by (term[, lang]).
+
+    The second half of the int-term-id design (see build_postings): with the
+    dictionary broadcast, the tf GROUP-BY shuffle keys and carries an int64
+    instead of the term string. The pass tokenizes turns a second time, but
+    that is whole-stage-codegen CPU that scales linearly with cores, while
+    the bytes it removes from the tf exchange are the memory-bandwidth-bound
+    part that does not — the trade the N->4N scaling bar wants. The distinct
+    here shuffles only per-partition-distinct terms (~vocab x partitions),
+    not postings.
+
+    Broadcast application bounds the usable vocabulary (~10^8 entries per
+    executor heap); beyond that, skip the dictionary (term_dict=None keeps
+    the string path) or pre-bucket the corpus by term externally.
+    """
+    if cfg.bigrams:
+        raise ValueError("bigrams span turn boundaries: build the dictionary "
+                         "from assembled documents instead")
+    if cfg.lemmatize or cfg.stem_lang:
+        from ..functions.text import tokenize_pandas_udf
+
+        tok = tokenize_pandas_udf(cfg)(F.col("text"))
+    else:
+        tok = tokenize_expr(F.col("text"), cfg)
+    from .ordinals import dense_rank_ordinals
+
+    keys = ["term"] + ([lang_col] if lang_col else [])
+    lang_cols = [F.col(lang_col)] if lang_col else []
+    terms = transcripts.select(
+        F.explode(tok).alias("term"), *lang_cols
+    ).distinct()
+    return dense_rank_ordinals(terms, keys, "term_id", n_parts=n_parts)
+
+
 def term_frequencies_from_turns(
     transcripts: DataFrame,
     cfg: TokenizerConfig,
     lang_col: str | None = None,
+    term_dict: DataFrame | None = None,
 ) -> DataFrame:
     """A1 computed TURN-LOCALLY: (docid[, lang], term, tf) with ONE shuffle.
 
@@ -94,9 +136,24 @@ def term_frequencies_from_turns(
         [F.col(lang_col)] if lang_col else []
     )
     key_names = ["docid"] + ([lang_col] if lang_col else [])
+    exploded = transcripts.select(*keys, F.explode(tok).alias("term"))
+    if term_dict is not None:
+        # map term -> int64 id BEFORE the aggregation (broadcast hash join
+        # inside the same codegen stage as tokenize/explode): the one tf
+        # shuffle then keys and carries (docid, term_id) — no term strings
+        # ride an O(postings) exchange. Returns term_id instead of term;
+        # join the dictionary back at the API boundary where strings are
+        # needed.
+        dict_keys = ["term"] + ([lang_col] if lang_col else [])
+        exploded = exploded.join(
+            F.broadcast(term_dict.select(*dict_keys, "term_id")), dict_keys
+        )
+        return (
+            exploded.groupBy(*key_names, "term_id")
+            .agg(F.count("*").alias("tf"))
+        )
     return (
-        transcripts.select(*keys, F.explode(tok).alias("term"))
-        .groupBy(*key_names, "term")
+        exploded.groupBy(*key_names, "term")
         .agg(F.count("*").alias("tf"))
     )
 
@@ -122,6 +179,7 @@ def build_term_stats(
     coll: DataFrame,
     lang_col: str | None = None,
     idf_plus_one: bool = True,
+    term_col: str = "term",
 ) -> DataFrame:
     """A2+A3: (term[, lang], df, idf) with
     idf = ln(1 + (N - df + 0.5)/(df + 0.5))  (`cell 3:24-25`, variant 1), or
@@ -132,7 +190,7 @@ def build_term_stats(
     `coll` is tiny (one row per language) — broadcast join, no shuffle on the
     big side beyond the df agg itself.
     """
-    keys = ["term"] + ([lang_col] if lang_col else [])
+    keys = [term_col] + ([lang_col] if lang_col else [])
     df_tbl = tf.groupBy(*keys).agg(F.count("*").alias("df"))
     if lang_col:
         joined = df_tbl.join(F.broadcast(coll), lang_col)

@@ -106,3 +106,92 @@ def test_turn_local_tf_equals_assembled_tf(spark, transcripts_df):
         term_frequencies_from_turns(
             transcripts_df, TokenizerConfig(bigrams=True)
         )
+
+
+def test_dict_keyed_tf_equals_string_tf(spark, transcripts_df):
+    """The int-term-id tf path (broadcast dictionary applied before the
+    group-by, shuffle carries term_id) must be row-identical to the string
+    path after mapping ids back; the dictionary is a dense 0..V-1 bijection
+    ordered by term."""
+    from document_retrieval_spark.operators.stats import (
+        build_term_dictionary,
+        term_frequencies_from_turns,
+    )
+
+    tdict = build_term_dictionary(transcripts_df, REFERENCE_PROFILE)
+    drows = tdict.collect()
+    ids = sorted(r["term_id"] for r in drows)
+    assert ids == list(range(len(drows)))
+    by_term = {r["term"]: r["term_id"] for r in drows}
+    assert [t for t, _ in sorted(by_term.items())] == [
+        t for t, _ in sorted(by_term.items(), key=lambda kv: kv[1])
+    ]
+
+    want = {
+        (r["docid"], r["term"]): r["tf"]
+        for r in term_frequencies_from_turns(
+            transcripts_df, REFERENCE_PROFILE
+        ).collect()
+    }
+    id2term = {v: k for k, v in by_term.items()}
+    got = {
+        (r["docid"], id2term[r["term_id"]]): r["tf"]
+        for r in term_frequencies_from_turns(
+            transcripts_df, REFERENCE_PROFILE, term_dict=tdict
+        ).collect()
+    }
+    assert got == want
+
+
+def test_dict_keyed_stats_and_postings_equal_string_path(spark, transcripts_df):
+    """End-to-end dict path (tf -> stats on term_id -> build_postings
+    has-id branch) must produce a decoded index identical to the string
+    path."""
+    from pyspark.sql import functions as F
+
+    from document_retrieval_spark.config import BM25Config, IndexConfig
+    from document_retrieval_spark.operators.postings import (
+        assign_doc_ordinals,
+        build_postings,
+        decode_postings_df,
+    )
+    from document_retrieval_spark.operators.stats import (
+        build_term_dictionary,
+        build_term_stats,
+        term_frequencies_from_turns,
+    )
+
+    cfg = IndexConfig(n_shards=8, salt_df_threshold=10, n_salts=4, block_size=8)
+    bm25 = BM25Config()
+
+    def decoded(tf, stats):
+        dls = tf.groupBy("docid").agg(F.sum("tf").cast("int").alias("dl"))
+        docs_ord = assign_doc_ordinals(dls)
+        post = build_postings(
+            tf.join(docs_ord, "docid"), stats, cfg, bm25,
+            seg_postings=32,
+        )
+        return {
+            (r["term"], r["doc_ord"]): (r["tf"], r["dl"])
+            for r in decode_postings_df(post).collect()
+        }
+
+    # string path
+    tf_s = term_frequencies_from_turns(transcripts_df, REFERENCE_PROFILE)
+    coll_s = tf_s.groupBy("docid").agg(F.sum("tf").alias("dl")).agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    stats_s = build_term_stats(tf_s, coll_s)
+    want = decoded(tf_s, stats_s)
+
+    # dict path: stats aggregated on term_id, string attached from the dict
+    tdict = build_term_dictionary(transcripts_df, REFERENCE_PROFILE)
+    tf_i = term_frequencies_from_turns(
+        transcripts_df, REFERENCE_PROFILE, term_dict=tdict
+    )
+    stats_i = build_term_stats(tf_i, coll_s, term_col="term_id").join(
+        F.broadcast(tdict), "term_id"
+    )
+    got = decoded(tf_i, stats_i)
+    assert got == want and len(got) > 500
