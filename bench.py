@@ -147,11 +147,27 @@ def _build_and_query(spark, tr_pdf, q_pdf, k=10):
     # token arrays — only the collapsed (docid, term, tf) long form persists;
     # dl and all collection stats derive from tf (dl = sum of tf over a
     # doc's terms — the reference's own definition, SURVEY A5)
-    tf = term_frequencies_from_turns(transcripts, REFERENCE_PROFILE).persist()
+    # INT TERM IDS end-to-end (SPARK_GRAFT_TERM_DICT=0 restores strings):
+    # a broadcast term dictionary maps tokens to dense int64 ids BEFORE the
+    # tf group-by, so the tf exchange, the stats agg and the posting-salt
+    # shuffle all key and carry longs instead of term strings; the extra
+    # tokenize pass for the dictionary is linear-scaling codegen CPU, the
+    # bytes it removes are the bandwidth-bound part (the N->4N lever).
+    use_dict = os.environ.get("SPARK_GRAFT_TERM_DICT", "1") != "0"
+    from document_retrieval_spark.operators.stats import build_term_dictionary
+
+    tdict = (
+        build_term_dictionary(transcripts, REFERENCE_PROFILE).persist()
+        if use_dict
+        else None
+    )
+    tf_ids = term_frequencies_from_turns(
+        transcripts, REFERENCE_PROFILE, term_dict=tdict
+    ).persist()
     # dls persisted: assign_doc_ordinals' range-partitioner SAMPLES its input
     # (one extra pass) before ranking it — without the persist both passes
     # re-aggregate the full tf table
-    dls = tf.groupBy("docid").agg(F.sum("tf").cast("int").alias("dl")).persist()
+    dls = tf_ids.groupBy("docid").agg(F.sum("tf").cast("int").alias("dl")).persist()
     # lazy persists — the single postings action below materializes the DAG
     # once (extra .count() actions each cost a full job of scheduler floor)
     docs_ord = assign_doc_ordinals(dls).persist()
@@ -162,10 +178,24 @@ def _build_and_query(spark, tr_pdf, q_pdf, k=10):
     # stats persisted UP FRONT: build_postings consumes it via two broadcasts
     # (hot-term flags; per-term df/idf re-attach over encoded segments) and
     # the headline exhaustive/cosine queries reuse it afterwards
-    stats = build_term_stats(tf, coll).persist()
+    if use_dict:
+        stats = (
+            build_term_stats(tf_ids, coll, term_col="term_id")
+            .join(F.broadcast(tdict), "term_id")
+            .persist()
+        )
+        # string view at the API boundary for the downstream headline
+        # queries (exhaustive/cosine join query terms on `term`): a
+        # broadcast map-side join over the persisted int tf — no shuffle
+        tf = tf_ids.join(
+            F.broadcast(tdict.select("term", "term_id")), "term_id"
+        ).drop("term_id")
+    else:
+        stats = build_term_stats(tf_ids, coll).persist()
+        tf = tf_ids
     avgdl = float(coll.first()["avgdl"])  # broadcast scalar for the encoder
     postings = build_postings(
-        tf.join(docs_ord, "docid"), stats,
+        tf_ids.join(docs_ord, "docid"), stats,
         IndexConfig(n_shards=64, salt_df_threshold=2000, n_salts=8), bm25,
         avgdl_by_lang=avgdl,
     )
@@ -184,7 +214,8 @@ def _build_and_query(spark, tr_pdf, q_pdf, k=10):
     n_res = res.count()
     query_sec = time.time() - t0
     assert n_res > 0 and n_post > 0
-    return build_sec, query_sec, docs_ord, coll, postings, stats, tf
+    stats_out = stats.drop("term_id") if use_dict else stats
+    return build_sec, query_sec, docs_ord, coll, postings, stats_out, tf
 
 
 # shared bench session tuning:

@@ -126,6 +126,15 @@ class IndexConfig:
     # the reference's one-model-per-language production design
     # (`final_implementation.py:300-326`). None = single global model.
     lang_col: str | None = None
+    # Int-term-id dictionary (vocab stage): dense int64 ids are broadcast-
+    # applied BEFORE the tf group-by, so the tf exchange, the stats agg and
+    # the posting-salt shuffle key and carry longs instead of term strings
+    # (2-5x fewer key bytes on realistic vocabularies; strings stay at the
+    # API boundary — tf/stats parquet keep a `term` column). Costs one
+    # extra tokenize pass at first build; compaction EXTENDS the persisted
+    # dictionary, so steady-state incremental builds pay only the delta.
+    # Applies to turn-local (non-bigram) builds; bigram builds keep strings.
+    term_dict: bool = True
 
 
 @dataclass(frozen=True)

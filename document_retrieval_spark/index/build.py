@@ -40,6 +40,7 @@ from ..config import EngineConfig
 from ..operators.assemble import assemble_documents
 from ..operators.postings import assign_doc_ordinals, build_postings
 from ..operators.stats import (
+    build_term_dictionary,
     build_term_stats,
     collection_stats,
     term_frequencies,
@@ -154,6 +155,7 @@ class IndexBuilder:
         # - bigram configs: bigrams span turn boundaries, so assemble +
         #   tokenize the full documents and share that frame between stages.
         turn_local = not self.cfg.tokenizer.bigrams
+        use_dict = self.cfg.index.term_dict and turn_local
         docs_tok: DataFrame | None = None
         tf_raw: DataFrame | None = None
 
@@ -166,11 +168,35 @@ class IndexBuilder:
                 ).persist()
             return docs_tok
 
+        # ---- vocab stage (term dictionary, IndexConfig.term_dict): the tf
+        # group-by below then keys/carries int64 term_id instead of the
+        # term string; compact() appends ids for genuinely-new terms, so
+        # incremental builds never re-derive the dictionary.
+        if use_dict:
+            if not self._complete("vocab"):
+                t0 = time.time()
+                obs = Observation()
+                build_term_dictionary(
+                    transcripts, self.cfg.tokenizer, lang_col=lang
+                ).observe(obs, F.count(F.lit(1)).alias("terms")).write.mode(
+                    "overwrite"
+                ).parquet(self._path("vocab"))
+                report["stages"]["vocab"] = self._write_manifest(
+                    "vocab", t0, {"terms": obs.get["terms"]},
+                    ["<input transcripts>"],
+                )
+            else:
+                report["skipped"].append("vocab")
+
+        def get_tdict() -> DataFrame:
+            return self.spark.read.parquet(self._path("vocab"))
+
         def get_tf_raw() -> DataFrame:
             nonlocal tf_raw
             if tf_raw is None:
                 tf_raw = term_frequencies_from_turns(
-                    transcripts, self.cfg.tokenizer, lang_col=lang
+                    transcripts, self.cfg.tokenizer, lang_col=lang,
+                    term_dict=get_tdict() if use_dict else None,
                 ).persist()
             return tf_raw
 
@@ -232,7 +258,17 @@ class IndexBuilder:
                 tf = term_frequencies(get_docs_tok(), lang_col=lang)
             doc_map = self.spark.read.parquet(self._path("doc_map"))
             g = self.cfg.index.n_shard_groups
-            tf_part = tf.join(doc_map.select("docid", "doc_ord", "dl"), "docid").withColumn(
+            tf_part = tf.join(doc_map.select("docid", "doc_ord", "dl"), "docid")
+            if use_dict:
+                # the string column re-attaches AFTER the group-by shuffle
+                # (broadcast map-side join over the int tf) so the persisted
+                # tf keeps the `term` API boundary for the exhaustive
+                # scorer; the postings stage column-prunes it away
+                tf_part = tf_part.join(
+                    F.broadcast(get_tdict().select("term", "term_id")),
+                    "term_id",
+                )
+            tf_part = tf_part.withColumn(
                 "shard_group", F.pmod(F.xxhash64("term"), F.lit(g)).cast("int")
             )
             obs = Observation()
@@ -251,8 +287,9 @@ class IndexBuilder:
             docs = self.spark.read.parquet(self._path("docs"))
             tf = self.spark.read.parquet(self._path("tf"))
             coll = collection_stats(docs, lang_col=lang)
+            term_key = "term_id" if use_dict else "term"
             stats = build_term_stats(
-                tf.select("term", "docid", *([lang] if lang else [])),
+                tf.select(term_key, "docid", *([lang] if lang else [])),
                 coll,
                 lang_col=lang,
                 # the persisted idf (and the idf baked into postings) must
@@ -261,7 +298,16 @@ class IndexBuilder:
                 # persist variant-1 ln(1+ratio) while the manifest fingerprint
                 # claims otherwise
                 idf_plus_one=self.cfg.bm25.idf_plus_one,
+                term_col=term_key,
             )
+            if use_dict:
+                # vocab-sized broadcast join restores the string boundary in
+                # the persisted stats (term AND term_id: build_postings'
+                # has-id branch shuffles on the id, queries join the string)
+                stats = stats.join(
+                    F.broadcast(get_tdict().select("term", "term_id")),
+                    "term_id",
+                )
             coll.write.mode("overwrite").parquet(self._path("stats/coll"))
             obs = Observation()
             stats.observe(obs, F.count(F.lit(1)).alias("terms")).write.mode(
@@ -290,7 +336,9 @@ class IndexBuilder:
             if lang
             else {None: float(coll_rows[0]["avgdl"])}
         )
-        tf_cols = ["term", "docid", "doc_ord", "tf", "dl"] + ([lang] if lang else [])
+        tf_cols = (["term_id"] if use_dict else ["term"]) + (
+            ["docid", "doc_ord", "tf", "dl"] + ([lang] if lang else [])
+        )
         for g in range(self.cfg.index.n_shard_groups):
             stage = f"postings/group={g}"
             if self._complete(stage):
@@ -386,10 +434,12 @@ class IndexBuilder:
         from pyspark.sql import Observation
 
         lang = self.cfg.index.lang_col
+        use_dict = self.cfg.index.term_dict and not self.cfg.tokenizer.bigrams
         self._recover_pending()
         # stats/postings may be legitimately invalidated (a rolled-forward
         # compaction rebuilds them below); only the append targets must exist
-        for stage in ("docs", "doc_map", "tf"):
+        append_stages = ("docs", "doc_map", "tf") + (("vocab",) if use_dict else ())
+        for stage in append_stages:
             if not self._complete(stage):
                 raise ValueError(
                     f"compact() requires a completed build (stage {stage!r} "
@@ -432,6 +482,40 @@ class IndexBuilder:
         ).write.mode("overwrite").parquet(f"{pending}/doc_map")
 
         tf_new = term_frequencies(docs_tok, lang_col=lang)
+        n_vocab_new = 0
+        if use_dict:
+            # EXTEND the dictionary: genuinely-new terms get dense ids
+            # continuing after the current max (uniqueness + density
+            # preserved); existing terms keep their ids, so old postings/tf
+            # rows never re-map. This is what makes the vocab pass a
+            # one-time cost amortized across incremental builds.
+            from ..operators.ordinals import dense_rank_ordinals
+
+            dict_keys = ["term"] + ([lang] if lang else [])
+            tdict_old = self.spark.read.parquet(self._path("vocab"))
+            base_id = int(
+                tdict_old.agg(
+                    F.coalesce(F.max("term_id") + 1, F.lit(0)).alias("b")
+                ).collect()[0]["b"]
+            )
+            new_terms = (
+                tf_new.select(*dict_keys)
+                .distinct()
+                .join(tdict_old.select(*dict_keys), dict_keys, "left_anti")
+            )
+            obs = Observation()
+            dense_rank_ordinals(new_terms, dict_keys, "term_id").withColumn(
+                "term_id", F.col("term_id") + F.lit(base_id)
+            ).observe(obs, F.count(F.lit(1)).alias("terms")).write.mode(
+                "overwrite"
+            ).parquet(f"{pending}/vocab")
+            n_vocab_new = obs.get["terms"]
+            tdict_all = tdict_old.unionByName(
+                self.spark.read.parquet(f"{pending}/vocab")
+            )
+            tf_new = tf_new.join(
+                F.broadcast(tdict_all.select(*dict_keys, "term_id")), dict_keys
+            )
         g = self.cfg.index.n_shard_groups
         new_map = self.spark.read.parquet(f"{pending}/doc_map")
         tf_part = tf_new.join(
@@ -449,7 +533,7 @@ class IndexBuilder:
         # the downstream manifests to invalidate, applied as one recovery-
         # replayable unit
         moves = []
-        for stage in ("docs", "doc_map", "tf"):
+        for stage in append_stages:
             src_base = os.path.join(pending, stage)
             for root, _dirs, files in os.walk(src_base):
                 for fname in files:
@@ -479,6 +563,22 @@ class IndexBuilder:
                               "appended": n_tf},
                     "inputs": ["<staged transcripts>", self._path("doc_map")],
                 },
+                **(
+                    {
+                        "vocab": {
+                            "extra": {
+                                "terms": (self.manifest("vocab") or {}).get(
+                                    "terms", 0
+                                )
+                                + n_vocab_new,
+                                "appended": n_vocab_new,
+                            },
+                            "inputs": ["<staged transcripts>"],
+                        }
+                    }
+                    if use_dict
+                    else {}
+                ),
             },
             "invalidate": ["stats"]
             + [f"postings/group={i}" for i in range(g)],
@@ -489,7 +589,7 @@ class IndexBuilder:
         os.replace(marker_tmp, os.path.join(pending, "COMMIT.json"))  # commit point
         self._apply_commit(commit)
         shutil.rmtree(delta_path, ignore_errors=True)
-        for s in ("docs", "doc_map", "tf"):
+        for s in append_stages:
             report["stages"][s] = self.manifest(s)
 
         # rebuild the global stages via build()'s stats+postings path

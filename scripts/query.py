@@ -42,12 +42,16 @@ def main(argv=None) -> int:
                     default=None,
                     help="override the index manifest's norm (default: "
                          "score with the config the index was built with)")
-    ap.add_argument("--scorer", choices=["wand", "docpart", "exhaustive"],
-                    default="wand",
+    ap.add_argument("--scorer",
+                    choices=["auto", "wand", "docpart", "exhaustive"],
+                    default="auto",
                     help="wand = per-query batch layout; docpart = doc-range "
                          "fan-out (single-query latency); exhaustive = join "
                          "scorer over the staged tf table (required for "
-                         "variant-3/5 indexes whose idf goes negative)")
+                         "variant-3/5 indexes whose idf goes negative); "
+                         "auto (default) picks by the manifest's BM25 "
+                         "variant, batch size and corpus size "
+                         "(query/plan.py choose_scorer)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -83,7 +87,8 @@ def main(argv=None) -> int:
         from dataclasses import replace
 
         bm25 = replace(bm25, length_norm=args.length_norm)
-    if fp.get("idf_plus_one") is False and args.scorer != "exhaustive":
+    if (fp.get("idf_plus_one") is False
+            and args.scorer not in ("exhaustive", "auto")):
         ap.error(
             "this index was built with idf_plus_one=False (BM25 variants "
             "3/5); its persisted idf goes negative for common terms, which "
@@ -93,6 +98,19 @@ def main(argv=None) -> int:
         queries = spark.read.csv(args.queries, header=True)
     else:
         queries = spark.read.parquet(args.queries)
+    if args.scorer == "auto":
+        from document_retrieval_spark.query.plan import choose_scorer
+
+        args.scorer = choose_scorer(
+            fp,
+            n_queries=queries.count(),
+            n_docs=int(
+                idx.coll.agg(F.sum("n_docs").alias("n")).first()["n"]
+            ),
+            parallelism=spark.sparkContext.defaultParallelism,
+            lang_col=args.lang_col,
+        )
+        print(f"--scorer auto -> {args.scorer}")
     qt = prepare_query_terms(
         queries, REFERENCE_PROFILE, bm25, lang_col=args.lang_col
     )

@@ -59,11 +59,25 @@ def main() -> int:
     transcripts = spark.read.parquet(path)
     queries = spark.createDataFrame(q_pdf[["query_id", "query"]])
 
+    use_dict = os.environ.get("SPARK_GRAFT_TERM_DICT", "1") != "0"
     ph: dict[str, float] = {}
     t_all = time.time()
 
+    tdict = None
+    if use_dict:
+        from document_retrieval_spark.operators.stats import (
+            build_term_dictionary,
+        )
+
+        t0 = time.time()
+        tdict = build_term_dictionary(transcripts, REFERENCE_PROFILE).persist()
+        tdict.count()
+        ph["vocab"] = time.time() - t0
+
     t0 = time.time()
-    tf = term_frequencies_from_turns(transcripts, REFERENCE_PROFILE).persist()
+    tf = term_frequencies_from_turns(
+        transcripts, REFERENCE_PROFILE, term_dict=tdict
+    ).persist()
     tf.count()
     ph["tf"] = time.time() - t0
 
@@ -78,7 +92,14 @@ def main() -> int:
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     ).persist()
-    stats = build_term_stats(tf, coll).persist()
+    if use_dict:
+        stats = (
+            build_term_stats(tf, coll, term_col="term_id")
+            .join(F.broadcast(tdict), "term_id")
+            .persist()
+        )
+    else:
+        stats = build_term_stats(tf, coll).persist()
     stats.count()
     ph["stats"] = time.time() - t0
 
