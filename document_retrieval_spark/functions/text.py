@@ -97,6 +97,7 @@ def tokenize_pandas_udf(cfg: TokenizerConfig):
 
     lemmatizer = None
     stem_fn = None
+    stem_splits = False
     if cfg.stem_lang == "porter":
         # hermetic pure-Python Porter (functions/stem.py) — the reference's
         # F4c PorterStemmer path (`text_preprocessing_and_tfidf.py:29`),
@@ -104,6 +105,30 @@ def tokenize_pandas_udf(cfg: TokenizerConfig):
         from .stem import porter_stem
 
         stem_fn = porter_stem
+    elif cfg.stem_lang in ("korean", "ko"):
+        # the reference morph-analyzes ko with konlpy's Okt
+        # (`bm25_ranking.ipynb cell 1:9-10`) — use it when importable,
+        # else the hermetic Hangul particle-stripping stand-in
+        # (functions/korean.py); either way the per-token fn may split a
+        # run, so it returns a LIST and is flattened below
+        from .korean import korean_tokenize
+
+        try:
+            from konlpy.tag import Okt  # pragma: no cover (not in container)
+
+            _okt = Okt()
+            stem_fn = _okt.morphs
+        except Exception:
+            stem_fn = korean_tokenize
+        stem_splits = True
+    elif cfg.stem_lang:
+        # hermetic Snowball fr/de/es/it (functions/snowball.py) — F4b, the
+        # reference's SnowballStemmer path (`bm25_ranking.ipynb cell
+        # 1:18-21`) without the nltk dependency; nltk below stays an
+        # optional upgrade for languages this table doesn't cover
+        from .snowball import SNOWBALL_STEMMERS
+
+        stem_fn = SNOWBALL_STEMMERS.get(cfg.stem_lang)
     # independent gated imports: a missing nltk lemmatizer must not discard
     # the hermetic Porter stemmer (and vice versa)
     if cfg.lemmatize:
@@ -136,7 +161,10 @@ def tokenize_pandas_udf(cfg: TokenizerConfig):
             if lemmatizer is not None:
                 toks = [lemmatizer.lemmatize(t) for t in toks]
             if stem_fn is not None:
-                toks = [stem_fn(t) for t in toks]
+                if stem_splits:
+                    toks = [t2 for t in toks for t2 in stem_fn(t)]
+                else:
+                    toks = [stem_fn(t) for t in toks]
             if want_bigrams and len(toks) >= 2:
                 toks = toks + ["_".join(p) for p in zip(toks, toks[1:])]
             return toks

@@ -60,6 +60,19 @@ def oracle_tokenize(text: str, cfg: TokenizerConfig) -> list[str]:
         from ..functions.stem import porter_stem
 
         toks = [porter_stem(t) for t in toks]
+    elif cfg.stem_lang in ("korean", "ko"):
+        # deterministic Hangul stand-in (functions/korean.py) — the
+        # reference's konlpy path (`bm25_ranking.ipynb cell 1:9-10`)
+        from ..functions.korean import korean_tokenize
+
+        toks = [t2 for t in toks for t2 in korean_tokenize(t)]
+    elif cfg.stem_lang:
+        # hermetic Snowball fr/de/es/it (functions/snowball.py) — F4b
+        from ..functions.snowball import SNOWBALL_STEMMERS
+
+        fn = SNOWBALL_STEMMERS.get(cfg.stem_lang)
+        if fn is not None:
+            toks = [fn(t) for t in toks]
     if cfg.bigrams and len(toks) >= 2:
         toks = toks + ["_".join(p) for p in zip(toks, toks[1:])]
     return toks
