@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import EngineConfig
+from ..sources.fs import fs_for, read_json, write_json_atomic
 from ..operators.assemble import assemble_documents
 from ..operators.postings import assign_doc_ordinals, build_postings
 from ..operators.stats import (
@@ -52,20 +53,18 @@ MANIFEST = "_manifest.json"
 PENDING = "_compact_pending"
 
 
-def _dir_bytes(path: str) -> int:
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            total += os.path.getsize(os.path.join(root, f))
-    return total
-
-
 class IndexBuilder:
     def __init__(self, spark: SparkSession, cfg: EngineConfig, out_dir: str):
         self.spark = spark
         self.cfg = cfg
         self.out = out_dir.rstrip("/")
-        os.makedirs(self.out, exist_ok=True)
+        # every manifest/commit file op goes through the FS abstraction
+        # (sources/fs.py): plain paths -> os/shutil, URI schemes
+        # (hdfs://, file://, s3a://, ...) -> Hadoop FileSystem via the
+        # session JVM — the same FS Spark's parquet writers use. See the
+        # module docs for the S3 rename-atomicity caveat.
+        self.fs = fs_for(spark, self.out)
+        self.fs.makedirs(self.out)
 
     # ---------- checkpoint plumbing ----------
 
@@ -81,12 +80,8 @@ class IndexBuilder:
         return f"{self.out}/{stage}"
 
     def _complete(self, stage: str) -> bool:
-        p = os.path.join(self._path(stage), MANIFEST)
-        if not os.path.exists(p):
-            return False
-        with open(p) as f:
-            m = json.load(f)
-        return m.get("fingerprint") == self._fingerprint()
+        m = read_json(self.fs, os.path.join(self._path(stage), MANIFEST))
+        return m is not None and m.get("fingerprint") == self._fingerprint()
 
     def _write_manifest(self, stage: str, t0: float, extra: dict, inputs: list[str]):
         path = self._path(stage)
@@ -95,19 +90,14 @@ class IndexBuilder:
             "fingerprint": self._fingerprint(),
             "inputs": inputs,
             "wall_sec": round(time.time() - t0, 3),
-            "bytes": _dir_bytes(path),
+            "bytes": self.fs.dir_bytes(path),
             **extra,
         }
-        with open(os.path.join(path, MANIFEST), "w") as f:
-            json.dump(man, f, indent=1, default=str)
+        write_json_atomic(self.fs, os.path.join(path, MANIFEST), man)
         return man
 
     def manifest(self, stage: str) -> dict | None:
-        p = os.path.join(self._path(stage), MANIFEST)
-        if not os.path.exists(p):
-            return None
-        with open(p) as f:
-            return json.load(f)
+        return read_json(self.fs, os.path.join(self._path(stage), MANIFEST))
 
     # ---------- stages ----------
 
@@ -116,15 +106,11 @@ class IndexBuilder:
         count was reduced between builds on the same out_dir, the rebuild never
         overwrites them and load_index's partition discovery would read stale
         segments into query results."""
-        import shutil
-
         base = self._path("postings")
-        if not os.path.isdir(base):
-            return
         live = {f"group={g}" for g in range(self.cfg.index.n_shard_groups)}
-        for d in os.listdir(base):
+        for d in self.fs.listdir(base):
             if d.startswith("group=") and d not in live:
-                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+                self.fs.rmtree(os.path.join(base, d))
 
     def build(self, transcripts: DataFrame) -> dict:
         """Run all stages (skipping completed ones); returns the build report
@@ -429,8 +415,6 @@ class IndexBuilder:
         orphan docs rows that the anti-join then treats as already indexed —
         silently unsearchable forever.
         """
-        import shutil
-
         from pyspark.sql import Observation
 
         lang = self.cfg.index.lang_col
@@ -463,7 +447,7 @@ class IndexBuilder:
         docs_tok = self.spark.read.parquet(delta_path)
 
         pending = self._path(PENDING)
-        shutil.rmtree(pending, ignore_errors=True)
+        self.fs.rmtree(pending)
         doc_cols = ["docid", "dl", "n_turns", "first_ts", "last_ts"] + (
             [lang] if lang else []
         )
@@ -535,15 +519,12 @@ class IndexBuilder:
         moves = []
         for stage in append_stages:
             src_base = os.path.join(pending, stage)
-            for root, _dirs, files in os.walk(src_base):
-                for fname in files:
-                    if fname.startswith(("_", ".")):
-                        continue
-                    src = os.path.join(root, fname)
-                    rel = os.path.relpath(src, src_base)
-                    moves.append(
-                        [os.path.relpath(src, self.out), os.path.join(stage, rel)]
-                    )
+            for rel in self.fs.walk_files(src_base):
+                if os.path.basename(rel).startswith(("_", ".")):
+                    continue
+                moves.append(
+                    [os.path.join(PENDING, stage, rel), os.path.join(stage, rel)]
+                )
         olds = {s: (self.manifest(s) or {}) for s in ("docs", "doc_map", "tf")}
         commit = {
             "moves": moves,
@@ -583,12 +564,12 @@ class IndexBuilder:
             "invalidate": ["stats"]
             + [f"postings/group={i}" for i in range(g)],
         }
-        marker_tmp = os.path.join(pending, "_COMMIT.tmp")
-        with open(marker_tmp, "w") as f:
-            json.dump(commit, f, indent=1)
-        os.replace(marker_tmp, os.path.join(pending, "COMMIT.json"))  # commit point
+        # atomic-write = tmp + rename (fs-provided; see fs.py S3 caveat)
+        write_json_atomic(
+            self.fs, os.path.join(pending, "COMMIT.json"), commit
+        )  # commit point
         self._apply_commit(commit)
-        shutil.rmtree(delta_path, ignore_errors=True)
+        self.fs.rmtree(delta_path)
         for s in append_stages:
             report["stages"][s] = self.manifest(s)
 
@@ -605,40 +586,32 @@ class IndexBuilder:
         pending files into the live stage dirs (idempotent: a src missing
         means that move already happened), invalidate downstream manifests,
         write the updated stage manifests, drop the staging dir."""
-        import shutil
-
         for src_rel, dst_rel in commit["moves"]:
             src = os.path.join(self.out, src_rel)
             dst = os.path.join(self.out, dst_rel)
-            if os.path.exists(src):
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.replace(src, dst)
+            if self.fs.exists(src):
+                self.fs.rename(src, dst)
         for stage in commit["invalidate"]:
-            mpath = os.path.join(self._path(stage), MANIFEST)
-            if os.path.exists(mpath):
-                os.remove(mpath)
+            self.fs.remove(os.path.join(self._path(stage), MANIFEST))
         t0 = time.time()
         for stage, m in commit["manifests"].items():
             self._write_manifest(stage, t0, m["extra"], m["inputs"])
             # the listing of an appended path changed; drop the session's
             # cached file index
             self.spark.catalog.refreshByPath(self._path(stage))
-        shutil.rmtree(self._path(PENDING), ignore_errors=True)
+        self.fs.rmtree(self._path(PENDING))
 
     def _recover_pending(self) -> None:
         """Crash recovery for compact(): roll a half-applied compaction
         FORWARD if its COMMIT.json landed, otherwise roll BACK by discarding
         the staging dirs (the live table was never touched)."""
-        import shutil
-
         pending = self._path(PENDING)
-        marker = os.path.join(pending, "COMMIT.json")
-        if os.path.exists(marker):
-            with open(marker) as f:
-                self._apply_commit(json.load(f))
-        elif os.path.isdir(pending):
-            shutil.rmtree(pending, ignore_errors=True)
-        shutil.rmtree(self._path("_compact_delta"), ignore_errors=True)
+        marker = read_json(self.fs, os.path.join(pending, "COMMIT.json"))
+        if marker is not None:
+            self._apply_commit(marker)
+        elif self.fs.exists(pending):
+            self.fs.rmtree(pending)
+        self.fs.rmtree(self._path("_compact_delta"))
 
     def _rollup(self, report: dict) -> dict:
         # roll-up manifest
@@ -650,8 +623,11 @@ class IndexBuilder:
             "skew_ratio": max(m["skew_ratio"] for m in groups),
             "n_groups": len(groups),
         }
-        with open(os.path.join(self.out, MANIFEST), "w") as f:
-            json.dump({"fingerprint": self._fingerprint(), **total}, f, indent=1)
+        write_json_atomic(
+            self.fs,
+            os.path.join(self.out, MANIFEST),
+            {"fingerprint": self._fingerprint(), **total},
+        )
         report["total"] = total
         return report
 
@@ -676,13 +652,10 @@ class LoadedIndex:
 
 def load_index(spark: SparkSession, out_dir: str) -> LoadedIndex:
     out = out_dir.rstrip("/")
-    manifest = None
-    mpath = os.path.join(out, MANIFEST)
-    if os.path.exists(mpath):
-        with open(mpath) as f:
-            manifest = json.load(f)
+    fs = fs_for(spark, out)
+    manifest = read_json(fs, os.path.join(out, MANIFEST))
     tf = None
-    if os.path.isdir(f"{out}/tf"):
+    if fs.exists(f"{out}/tf"):
         tf = spark.read.parquet(f"{out}/tf")
     return LoadedIndex(
         postings=spark.read.parquet(f"{out}/postings"),
