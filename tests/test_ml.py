@@ -19,6 +19,15 @@ SF_DIR = "/root/testdata/sf0.001"
 K = 8
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_cache(spark):
+    # Spark-ML fits are iterative jobs in the long-lived shared test JVM;
+    # drop leftover cached tables from earlier modules so the LBFGS run
+    # isn't competing with stale persists for executor memory.
+    spark.catalog.clearCache()
+    yield
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
