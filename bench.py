@@ -147,13 +147,19 @@ def _build_and_query(spark, tr_pdf, q_pdf, k=10):
     # token arrays — only the collapsed (docid, term, tf) long form persists;
     # dl and all collection stats derive from tf (dl = sum of tf over a
     # doc's terms — the reference's own definition, SURVEY A5)
-    # INT TERM IDS end-to-end (SPARK_GRAFT_TERM_DICT=0 restores strings):
-    # a broadcast term dictionary maps tokens to dense int64 ids BEFORE the
+    # INT TERM IDS end-to-end (SPARK_GRAFT_TERM_DICT=1 enables): a
+    # broadcast term dictionary maps tokens to dense int64 ids BEFORE the
     # tf group-by, so the tf exchange, the stats agg and the posting-salt
-    # shuffle all key and carry longs instead of term strings; the extra
-    # tokenize pass for the dictionary is linear-scaling codegen CPU, the
-    # bytes it removes are the bandwidth-bound part (the N->4N lever).
-    use_dict = os.environ.get("SPARK_GRAFT_TERM_DICT", "1") != "0"
+    # shuffle all key and carry longs instead of term strings. The r4
+    # interleaved campaign (CAMPAIGN_r4.jsonl, BENCH.md) measured exactly
+    # the designed per-phase effect (tf eff 0.69 -> 0.76, postings 0.66 ->
+    # 0.70) but the dictionary pass itself (a second tokenize + distinct)
+    # scales at 0.59 and costs ~15% wall on a COLD build at this corpus
+    # size/term-length profile — so the cold-build bench defaults to the
+    # string path, while IndexBuilder defaults to the dictionary
+    # (IndexConfig.term_dict=True): in the steady-state incremental
+    # deployment the vocab pass amortizes to the delta via compaction.
+    use_dict = os.environ.get("SPARK_GRAFT_TERM_DICT", "0") != "0"
     from document_retrieval_spark.operators.stats import build_term_dictionary
 
     tdict = (

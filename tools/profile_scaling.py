@@ -59,7 +59,7 @@ def main() -> int:
     transcripts = spark.read.parquet(path)
     queries = spark.createDataFrame(q_pdf[["query_id", "query"]])
 
-    use_dict = os.environ.get("SPARK_GRAFT_TERM_DICT", "1") != "0"
+    use_dict = os.environ.get("SPARK_GRAFT_TERM_DICT", "0") != "0"
     ph: dict[str, float] = {}
     t_all = time.time()
 
