@@ -290,9 +290,13 @@ def wand_topk(
     res = touched.repartition(n_parts, "query_id").groupBy("query_id").applyInPandas(
         score_group, schema="query_id string, rank int, doc_ord long, score double"
     )
-    return res.join(doc_map.select("docid", "doc_ord"), "doc_ord").select(
-        "query_id", "rank", "docid", "score"
-    )
+    # map doc_ord -> docid by BROADCASTING THE CANDIDATES (<= k rows per
+    # query) against doc_map — never the reverse: doc_map is corpus-sized
+    # (10^12 rows at target), and without the hint a single query pays a
+    # full doc_map shuffle in a sort-merge join
+    return doc_map.select("docid", "doc_ord").join(
+        F.broadcast(res), "doc_ord"
+    ).select("query_id", "rank", "docid", "score")
 
 
 def _cursors_from_pdf(pdf: pd.DataFrame, bm25: BM25Config, avgdl: float,
@@ -501,6 +505,8 @@ def wand_topk_docpart(
     # global merge: k winners among <= k*n_buckets candidates, engine tie
     # rule (score desc, doc_ord asc == docid asc)
     ranked = topk_per_group(cand, ["query_id"], "score", "doc_ord", k)
-    return ranked.join(doc_map.select("docid", "doc_ord"), "doc_ord").select(
-        "query_id", "rank", "docid", "score"
-    )
+    # candidates (<= k*n_buckets rows) broadcast against corpus-sized
+    # doc_map — same rationale as wand_topk's final map-back
+    return doc_map.select("docid", "doc_ord").join(
+        F.broadcast(ranked), "doc_ord"
+    ).select("query_id", "rank", "docid", "score")
