@@ -130,11 +130,27 @@ def logreg_predict(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """-> (id_col, prob: double) — P(label=1), the reference's `predict`
-    sigmoid output (`text_preprocessing_and_tfidf.py:133-138`)."""
-    from pyspark.ml.functions import vector_to_array
+    sigmoid output (`text_preprocessing_and_tfidf.py:133-138`).
 
-    src = _as_vector(df, features_col, "_features")
-    out = model.transform(src).withColumn(
-        "prob", vector_to_array(F.col("probability"))[1]
+    Scoring is pure column math over the fitted coefficients
+    (sigmoid(x·w + b) via zip_with/aggregate, whole-stage codegen) rather
+    than `model.transform`: identical numbers for binary LR, no Vector
+    round-trip on the hot path, and it sidesteps a Spark 4.1 quirk where
+    LogisticRegressionModel.transform's prediction closure drags the
+    session's ObservationManager into task serialization whenever any
+    `df.observe` ran earlier in the session (the IndexBuilder's metrics
+    do exactly that)."""
+    w = [float(c) for c in model.coefficients]
+    b = float(model.intercept)
+    feats = F.col(features_col).cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(
+            feats,
+            F.array(*[F.lit(c) for c in w]),
+            lambda x, c: x * c,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
-    return out.select(id_col, "prob")
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-(dot + F.lit(b))))
+    return df.select(id_col, prob.alias("prob"))
