@@ -52,6 +52,14 @@ class TokenizerConfig:
 
     lowercase: bool = False
     punct_mode: str = "delete"
+    # "whitespace" (default) splits on \s+ after punct_mode normalization;
+    # "wordpunct" reproduces nltk.tokenize.wordpunct_tokenize — runs of
+    # word chars OR runs of non-word non-space chars as separate tokens,
+    # with single/contiguous punctuation tokens then dropped exactly as the
+    # reference's ar/ko path does (`team_run1.py:72-75`: wordpunct split,
+    # then `t not in string.punctuation` — Python SUBSTRING semantics,
+    # reproduced faithfully). punct_mode is ignored in wordpunct mode.
+    split_mode: str = "whitespace"
     stopwords: tuple[str, ...] = DEFAULT_STOPWORDS
     # Append '_'-joined word bigrams to the unigram stream
     # (`bm25_ranking.ipynb cell 1:23-25`, fr/de/es/it path).

@@ -70,8 +70,24 @@ def tokenize_expr(col: Column, cfg: TokenizerConfig) -> Column:
     """text column -> array<string> token column, built-ins only."""
     if cfg.lemmatize or cfg.stem_lang:
         raise ValueError("lemmatize/stem require tokenize_pandas_udf")
-    arr = F.split(F.trim(_normalize_expr(col, cfg)), PY_WS_SPLIT)
-    arr = F.filter(arr, lambda t: t != F.lit(""))
+    if cfg.split_mode == "wordpunct":
+        # F2c hermetic: nltk's wordpunct_tokenize is the regex
+        # \w+|[^\w\s]+ — JVM-side via regexp_extract_all with (?U) so
+        # Java's \w matches Unicode word chars like Python's re module;
+        # the reference then drops tokens that are substrings of
+        # string.punctuation (`team_run1.py:75`)
+        src = F.lower(col) if cfg.lowercase else col
+        arr = F.regexp_extract_all(
+            F.coalesce(src, F.lit("")),
+            F.lit(r"(?U)\w+|[^\w\s]+"),
+            F.lit(0),
+        )
+        from ..config import PUNCT
+
+        arr = F.filter(arr, lambda t: F.instr(F.lit(PUNCT), t) == 0)
+    else:
+        arr = F.split(F.trim(_normalize_expr(col, cfg)), PY_WS_SPLIT)
+        arr = F.filter(arr, lambda t: t != F.lit(""))
     if cfg.stopwords:
         sw = sorted(cfg.stopword_set())
         arr = F.filter(arr, lambda t: ~F.lower(t).isin(sw))
@@ -149,6 +165,7 @@ def tokenize_pandas_udf(cfg: TokenizerConfig):
     base_cfg = TokenizerConfig(
         lowercase=cfg.lowercase,
         punct_mode=cfg.punct_mode,
+        split_mode=cfg.split_mode,
         stopwords=cfg.stopwords,
         bigrams=False,  # bigrams come AFTER lemma/stem, as in the reference
     )

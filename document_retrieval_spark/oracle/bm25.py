@@ -39,6 +39,25 @@ _SPACE_TBL = str.maketrans({c: " " for c in PUNCT})
 def oracle_tokenize(text: str, cfg: TokenizerConfig) -> list[str]:
     if not isinstance(text, str):  # null guard, `bm25_ranking.ipynb cell 1:3-4`
         text = ""
+    if cfg.split_mode == "wordpunct":
+        # F2c (`team_run1.py:72-75`): wordpunct split, then drop tokens
+        # that are substrings of string.punctuation (Python `in` on a
+        # string — faithfully including the "#$"-style substring quirk)
+        import re as _re
+        import string as _string
+
+        t = text.lower() if cfg.lowercase else text
+        toks = [
+            tk
+            for tk in _re.findall(r"\w+|[^\w\s]+", t)
+            if tk not in _string.punctuation
+        ]
+        if cfg.stopwords:
+            sw = cfg.stopword_set()
+            toks = [tk for tk in toks if tk.lower() not in sw]
+        if cfg.bigrams and len(toks) >= 2:
+            toks = toks + ["_".join(p2) for p2 in zip(toks, toks[1:])]
+        return toks
     if cfg.punct_mode == "delete":
         text = text.translate(_DELETE_TBL)
     elif cfg.punct_mode == "space":

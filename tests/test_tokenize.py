@@ -89,3 +89,42 @@ def test_negative_docs_json_parse(spark, queries_df):
     rows = parsed.collect()
     assert all(isinstance(r["negs"], list) and 1 <= len(r["negs"]) <= 3 for r in rows)
     assert all(r["positive_docs"] not in r["negs"] for r in rows)
+
+
+def test_wordpunct_engine_equals_oracle(spark):
+    """F2c hermetic wordpunct mode (`team_run1.py:72-75`): JVM
+    regexp_extract_all path == Python re.findall oracle, including the
+    reference's `t not in string.punctuation` substring quirk."""
+    from document_retrieval_spark.config import TokenizerConfig
+    from document_retrieval_spark.functions.text import tokenize_expr
+    from document_retrieval_spark.oracle.bm25 import oracle_tokenize
+
+    texts = [
+        "don't stop!! believing...",
+        "hello, world (again)",
+        "a#$b #$ !! ?!",          # "#$" is a substring of string.punctuation
+        "café's naïve résumé",
+        "나는 학교에서, 공부한다!",
+        "under_score mixed123 ...",
+        "",
+        "   ",
+    ]
+    for cfg in (
+        TokenizerConfig(split_mode="wordpunct", punct_mode="delete",
+                        stopwords=()),
+        TokenizerConfig(split_mode="wordpunct", lowercase=True,
+                        stopwords=("the", "a")),
+    ):
+        df = spark.createDataFrame([(t,) for t in texts], ["text"])
+        got = [
+            r["toks"]
+            for r in df.select(
+                tokenize_expr(F.col("text"), cfg).alias("toks")
+            ).collect()
+        ]
+        want = [oracle_tokenize(t, cfg) for t in texts]
+        assert got == want, list(zip(texts, got, want))
+    # the quirk itself, pinned: "#$" is dropped (substring), "?!" is kept
+    cfg = TokenizerConfig(split_mode="wordpunct", stopwords=())
+    assert "#$" not in oracle_tokenize("a #$ b", cfg)
+    assert "?!" in oracle_tokenize("a ?! b", cfg)
