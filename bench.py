@@ -160,24 +160,47 @@ def _build_and_query(spark, tr_pdf, q_pdf, k=10):
     # (IndexConfig.term_dict=True): in the steady-state incremental
     # deployment the vocab pass amortizes to the delta via compaction.
     use_dict = os.environ.get("SPARK_GRAFT_TERM_DICT", "0") != "0"
-    from document_retrieval_spark.operators.stats import build_term_dictionary
+    # CONV ORDINALS pre-assigned from the conv_id column (no tokenize):
+    # removes the conv_id string from the tf exchange and the tf |><| doc
+    # ordinal join entirely — tf rows are born with doc_ord. Measured r4:
+    # at 1M turns the ~7-9 s conv_map pass buys nothing (the 2c tf phase
+    # is tokenize-CPU-bound, and the fixture's 10-char conv ids are only
+    # ~25% of a tf row) — default OFF; the switch exists because at
+    # production row widths (long conv ids, many partitions) the byte
+    # argument flips.
+    use_conv = os.environ.get("SPARK_GRAFT_CONV_ORD", "0") != "0"
+    from document_retrieval_spark.operators.stats import (
+        assign_conv_ordinals,
+        build_term_dictionary,
+    )
 
     tdict = (
         build_term_dictionary(transcripts, REFERENCE_PROFILE).persist()
         if use_dict
         else None
     )
+    conv_map = (
+        assign_conv_ordinals(transcripts).persist() if use_conv else None
+    )
     tf_ids = term_frequencies_from_turns(
-        transcripts, REFERENCE_PROFILE, term_dict=tdict
+        transcripts, REFERENCE_PROFILE, term_dict=tdict, conv_map=conv_map
     ).persist()
+    doc_key = "doc_ord" if use_conv else "docid"
     # dls persisted: assign_doc_ordinals' range-partitioner SAMPLES its input
     # (one extra pass) before ranking it — without the persist both passes
     # re-aggregate the full tf table
-    dls = tf_ids.groupBy("docid").agg(F.sum("tf").cast("int").alias("dl")).persist()
+    dls = tf_ids.groupBy(doc_key).agg(
+        F.sum("tf").cast("int").alias("dl")
+    ).persist()
     # lazy persists — the single postings action below materializes the DAG
     # once (extra .count() actions each cost a full job of scheduler floor)
-    docs_ord = assign_doc_ordinals(dls).persist()
-    coll = docs_ord.agg(
+    if use_conv:
+        docs_ord = conv_map.join(dls, "doc_ord").select(
+            F.col("conv_id").alias("docid"), "doc_ord", "dl"
+        ).persist()
+    else:
+        docs_ord = assign_doc_ordinals(dls).persist()
+    coll = dls.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     ).persist()
@@ -199,9 +222,20 @@ def _build_and_query(spark, tr_pdf, q_pdf, k=10):
     else:
         stats = build_term_stats(tf_ids, coll).persist()
         tf = tf_ids
+    if use_conv:
+        # docid string view for the downstream headline queries
+        tf = tf.join(
+            F.broadcast(conv_map.select(F.col("conv_id").alias("docid"),
+                                        "doc_ord")), "doc_ord"
+        ).drop("doc_ord")
     avgdl = float(coll.first()["avgdl"])  # broadcast scalar for the encoder
+    tf_ord = (
+        tf_ids.join(dls, "doc_ord")  # int-keyed dl attach; no docid join
+        if use_conv
+        else tf_ids.join(docs_ord, "docid")
+    )
     postings = build_postings(
-        tf_ids.join(docs_ord, "docid"), stats,
+        tf_ord, stats,
         IndexConfig(n_shards=64, salt_df_threshold=2000, n_salts=8), bm25,
         avgdl_by_lang=avgdl,
     )

@@ -97,11 +97,35 @@ def build_term_dictionary(
     return dense_rank_ordinals(terms, keys, "term_id", n_parts=n_parts)
 
 
+def assign_conv_ordinals(transcripts: DataFrame,
+                         n_parts: int | None = None) -> DataFrame:
+    """(conv_id, doc_ord) — dense int64 doc ordinals straight from the
+    transcripts' conv_id column (ordered by conv_id), WITHOUT tokenizing:
+    a single-column scan + distinct + the two-pass ordinal machinery.
+
+    The docid analog of the term dictionary, at a fraction of its cost:
+    broadcast-applied before the tf group-by it removes the conv_id STRING
+    from the tf exchange key (the only remaining string there once term_id
+    is in play) and makes the downstream dl/postings joins int-keyed —
+    the tf ⋈ doc_map join disappears entirely because tf rows are born
+    with their ordinal. Broadcast application bounds it at ~10^8-10^9
+    conversations per executor heap; beyond that keep conv_id strings
+    (conv_map=None) or pre-bucket by conv_id.
+    """
+    from .ordinals import dense_rank_ordinals
+
+    return dense_rank_ordinals(
+        transcripts.select("conv_id").distinct(), ["conv_id"], "doc_ord",
+        n_parts=n_parts,
+    )
+
+
 def term_frequencies_from_turns(
     transcripts: DataFrame,
     cfg: TokenizerConfig,
     lang_col: str | None = None,
     term_dict: DataFrame | None = None,
+    conv_map: DataFrame | None = None,
 ) -> DataFrame:
     """A1 computed TURN-LOCALLY: (docid[, lang], term, tf) with ONE shuffle.
 
@@ -132,10 +156,21 @@ def term_frequencies_from_turns(
         tok = tokenize_pandas_udf(cfg)(F.col("text"))
     else:
         tok = tokenize_expr(F.col("text"), cfg)
-    keys = [F.col("conv_id").alias("docid")] + (
-        [F.col(lang_col)] if lang_col else []
-    )
-    key_names = ["docid"] + ([lang_col] if lang_col else [])
+    if conv_map is not None:
+        # (conv_id -> doc_ord) broadcast-applied BEFORE the group-by: the
+        # tf exchange then keys on an int64 ordinal instead of the conv_id
+        # string, and the output is born join-free for posting assembly.
+        # Output doc column is `doc_ord` (long), not `docid` (string).
+        transcripts = transcripts.join(
+            F.broadcast(conv_map.select("conv_id", "doc_ord")), "conv_id"
+        )
+        keys = [F.col("doc_ord")] + ([F.col(lang_col)] if lang_col else [])
+        key_names = ["doc_ord"] + ([lang_col] if lang_col else [])
+    else:
+        keys = [F.col("conv_id").alias("docid")] + (
+            [F.col(lang_col)] if lang_col else []
+        )
+        key_names = ["docid"] + ([lang_col] if lang_col else [])
     exploded = transcripts.select(*keys, F.explode(tok).alias("term"))
     if term_dict is not None:
         # map term -> int64 id BEFORE the aggregation (broadcast hash join

@@ -195,3 +195,34 @@ def test_dict_keyed_stats_and_postings_equal_string_path(spark, transcripts_df):
     )
     got = decoded(tf_i, stats_i)
     assert got == want and len(got) > 500
+
+
+def test_conv_ordinal_tf_equals_string_tf(spark, transcripts_df):
+    """The conv-ordinal tf path (broadcast conv_id -> doc_ord map applied
+    before the group-by) must be row-identical to the string path after
+    mapping ordinals back, and the ordinal assignment must be the dense
+    sorted-conv_id order."""
+    from document_retrieval_spark.operators.stats import (
+        assign_conv_ordinals,
+        term_frequencies_from_turns,
+    )
+
+    cmap = assign_conv_ordinals(transcripts_df)
+    rows = cmap.collect()
+    by_ord = {r["doc_ord"]: r["conv_id"] for r in rows}
+    assert sorted(by_ord) == list(range(len(rows)))
+    assert [by_ord[i] for i in range(len(rows))] == sorted(by_ord.values())
+
+    want = {
+        (r["docid"], r["term"]): r["tf"]
+        for r in term_frequencies_from_turns(
+            transcripts_df, REFERENCE_PROFILE
+        ).collect()
+    }
+    got = {
+        (by_ord[r["doc_ord"]], r["term"]): r["tf"]
+        for r in term_frequencies_from_turns(
+            transcripts_df, REFERENCE_PROFILE, conv_map=cmap
+        ).collect()
+    }
+    assert got == want and len(got) > 100

@@ -60,6 +60,7 @@ def main() -> int:
     queries = spark.createDataFrame(q_pdf[["query_id", "query"]])
 
     use_dict = os.environ.get("SPARK_GRAFT_TERM_DICT", "0") != "0"
+    use_conv = os.environ.get("SPARK_GRAFT_CONV_ORD", "0") != "0"
     ph: dict[str, float] = {}
     t_all = time.time()
 
@@ -74,21 +75,40 @@ def main() -> int:
         tdict.count()
         ph["vocab"] = time.time() - t0
 
+    conv_map = None
+    if use_conv:
+        from document_retrieval_spark.operators.stats import (
+            assign_conv_ordinals,
+        )
+
+        t0 = time.time()
+        conv_map = assign_conv_ordinals(transcripts).persist()
+        conv_map.count()
+        ph["conv_map"] = time.time() - t0
+
     t0 = time.time()
     tf = term_frequencies_from_turns(
-        transcripts, REFERENCE_PROFILE, term_dict=tdict
+        transcripts, REFERENCE_PROFILE, term_dict=tdict, conv_map=conv_map
     ).persist()
     tf.count()
     ph["tf"] = time.time() - t0
 
+    doc_key = "doc_ord" if use_conv else "docid"
     t0 = time.time()
-    dls = tf.groupBy("docid").agg(F.sum("tf").cast("int").alias("dl")).persist()
-    docs_ord = assign_doc_ordinals(dls).persist()
+    dls = tf.groupBy(doc_key).agg(
+        F.sum("tf").cast("int").alias("dl")
+    ).persist()
+    if use_conv:
+        docs_ord = conv_map.join(dls, "doc_ord").select(
+            F.col("conv_id").alias("docid"), "doc_ord", "dl"
+        ).persist()
+    else:
+        docs_ord = assign_doc_ordinals(dls).persist()
     docs_ord.count()
     ph["ordinals"] = time.time() - t0
 
     t0 = time.time()
-    coll = docs_ord.agg(
+    coll = dls.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     ).persist()
@@ -104,8 +124,9 @@ def main() -> int:
     ph["stats"] = time.time() - t0
 
     t0 = time.time()
+    tf_ord = tf.join(dls, "doc_ord") if use_conv else tf.join(docs_ord, "docid")
     postings = build_postings(
-        tf.join(docs_ord, "docid"), stats,
+        tf_ord, stats,
         IndexConfig(n_shards=64, salt_df_threshold=2000, n_salts=8), bm25,
     ).persist()
     n_post = postings.agg(F.sum("n_postings")).collect()[0][0]
