@@ -491,6 +491,16 @@ SELECT doc_id,
             AS BIGINT) AS bpe_tokens
 FROM documents
 """,
+        "token_counts_wordpunct": f"""
+WITH t AS (SELECT doc_id,
+                  list_filter(regexp_extract_all(lower(text),
+                              '\\w+|[^\\w\\s]+'),
+                              tk -> strpos('!"#$%&''()*+,-./:;<=>?@[\]^_`{{|}}~', tk) = 0) AS toks
+           FROM documents)
+SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_distinct
+FROM t
+""",
         "text_quality": f"""
 WITH t AS (SELECT doc_id, text,
                   list_filter(string_split_regex(trim(lower(text)), '\\s+'),
@@ -1043,6 +1053,28 @@ def _q_token_counts(spark, sf_dir):
     )
 
 
+def _q_token_counts_wordpunct(spark, sf_dir):
+    """F2c through the driver gate: hermetic wordpunct tokenization
+    (`team_run1.py:72-75` — nltk wordpunct split + punctuation-token drop)
+    counted per doc. Engine: JVM regexp_extract_all (functions/text.py);
+    oracle: DuckDB regexp_extract_all + strpos punctuation filter —
+    byte-identical on this ASCII corpus (Java (?U)\\w == RE2 \\w there).
+    """
+    from pyspark.sql import functions as F
+
+    from document_retrieval_spark.config import TokenizerConfig
+    from document_retrieval_spark.functions.text import tokenize_expr
+
+    cfg = TokenizerConfig(lowercase=True, split_mode="wordpunct", stopwords=())
+    toks = tokenize_expr(F.col("text"), cfg)
+    d = _docs(spark, sf_dir).select("doc_id", toks.alias("toks"))
+    return d.select(
+        "doc_id",
+        F.size("toks").cast("int").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("int").alias("n_distinct"),
+    )
+
+
 def _q_text_quality(spark, sf_dir):
     from document_retrieval_spark.functions.analysis import add_quality_columns
 
@@ -1319,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf,
         "dedup_embedding_pairs": _q_dedup_embedding,
         "token_counts": _q_token_counts,
+        "token_counts_wordpunct": _q_token_counts_wordpunct,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
