@@ -66,10 +66,11 @@ def assign_doc_ordinals(docs: DataFrame, n_parts: int | None = None) -> DataFram
     return dense_rank_ordinals(docs, ["docid"], "doc_ord", n_parts=n_parts)
 
 
-def _segment_schema(lang_col: str | None) -> str:
+def _segment_schema(lang_col: str | None, key_col: str = "term") -> str:
     lang = f"{lang_col} string, " if lang_col else ""
+    key = "term_id bigint" if key_col == "term_id" else "term string"
     return (
-        f"term_id bigint, {lang}"
+        f"{key}, {lang}"
         "n_postings int, first_ord bigint, last_ord bigint, max_q double, "
         "blocks array<struct<base:bigint,last:bigint,n:int,max_q:double,"
         "docs:binary,tfs:binary,dls:binary>>"
@@ -123,7 +124,8 @@ def _encode_group(ords, tfs, dls, qs, block_size, seg_postings):
 
 
 def _encode_partitions(block_size: int, seg_postings: int, lang_col: str | None,
-                       bm25: BM25Config, avgdl_by_lang: dict):
+                       bm25: BM25Config, avgdl_by_lang: dict,
+                       key_col: str = "term"):
     """mapInPandas encoder over FLAT rows sorted by (term[, lang], salt,
     doc_ord) within each partition. Groups are contiguous; the trailing
     (possibly incomplete) group of each Arrow batch is carried into the next
@@ -135,14 +137,19 @@ def _encode_partitions(block_size: int, seg_postings: int, lang_col: str | None,
     idf, shard) and per-posting derivations have no business riding an
     O(postings) shuffle when they can be recomputed or re-joined over the
     ~1000x smaller encoded-segment rows."""
-    key_cols = ["term_id"] + ([lang_col] if lang_col else []) + ["salt"]
+    key_cols = [key_col] + ([lang_col] if lang_col else []) + ["salt"]
     out_cols = (
-        ["term_id"] + ([lang_col] if lang_col else [])
+        [key_col] + ([lang_col] if lang_col else [])
         + ["n_postings", "first_ord", "last_ord", "max_q", "blocks"]
     )
+    key_is_id = key_col == "term_id"
 
     def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
-        terms = pdf["term_id"].to_numpy(np.int64)
+        terms = (
+            pdf[key_col].to_numpy(np.int64)
+            if key_is_id
+            else pdf[key_col].to_numpy()
+        )
         salts = pdf["salt"].to_numpy()
         change = np.ones(len(pdf), dtype=bool)
         change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
@@ -171,7 +178,8 @@ def _encode_partitions(block_size: int, seg_postings: int, lang_col: str | None,
             for part in _encode_group(
                 ords[s:e], tfs[s:e], dls[s:e], qs[s:e], block_size, seg_postings
             ):
-                row = {"term_id": int(terms[s]), **part}
+                key_val = int(terms[s]) if key_is_id else terms[s]
+                row = {key_col: key_val, **part}
                 if lang_col:
                     row[lang_col] = langs[s]
                 rows.append(row)
@@ -234,30 +242,27 @@ def build_postings(
     # shuffle strategy; the hot join then shuffles tf on term — acceptable
     # because that is the very shuffle key the assembly repartition uses.
     _maybe_b = F.broadcast if stats_broadcast else (lambda df: df)
-    # INT TERM IDS through the posting shuffle: the raw-posting exchange
-    # (and its sort) keys and carries an int64 `term_id` instead of the
-    # term string — 2-5x fewer key bytes on realistic vocabularies, and the
-    # sort comparator becomes a long compare. Strings stay at the API
-    # boundary: the ~1000x-smaller encoded-segment rows re-join the
-    # dictionary below to restore (term[, lang]). Ids are dense ordinals
-    # over the (term[, lang]) stats keys — a vocab-sized sort, O(postings)
-    # cheaper than what it saves — unless the caller already ships
-    # `term_id` on BOTH inputs (the IndexBuilder persists it in
-    # stats/terms and tf so rebuilds and compactions skip the assignment).
-    if "term_id" in tf_ord.columns and "term_id" in term_stats.columns:
+    # INT TERM IDS through the posting shuffle WHEN THE CALLER PROVIDES
+    # THEM (term dictionary mode — IndexBuilder's vocab stage, or bench's
+    # SPARK_GRAFT_TERM_DICT arm): the raw-posting exchange (and its sort)
+    # then keys and carries an int64 `term_id` instead of the term string,
+    # and strings are restored on the ~1000x-smaller encoded-segment rows
+    # by the dictionary join below. Without caller-provided ids the
+    # shuffle keys on the term string directly: deriving ids here
+    # (a vocab-sized dense-ordinal sort) was measured costing ~1.5-2 s of
+    # job floor per build at sf0.1 — more than the short synthetic keys
+    # save (BENCH.md r4 A/B).
+    have_ids = "term_id" in tf_ord.columns and "term_id" in term_stats.columns
+    key_col = "term_id" if have_ids else "term"
+    if have_ids:
         stats_id = term_stats
-        tf_src = tf_ord
         hot = stats_id.select(
             "term_id", (F.col("df") > idx_cfg.salt_df_threshold).alias("is_hot")
         )
-        salted_src = tf_src.join(_maybe_b(hot), "term_id")
+        salted_src = tf_ord.join(_maybe_b(hot), "term_id")
     else:
-        from .ordinals import dense_rank_ordinals
-
-        stats_id = dense_rank_ordinals(term_stats, keys, "term_id")
-        hot = stats_id.select(
-            *keys, "term_id",
-            (F.col("df") > idx_cfg.salt_df_threshold).alias("is_hot"),
+        hot = term_stats.select(
+            *keys, (F.col("df") > idx_cfg.salt_df_threshold).alias("is_hot")
         )
         salted_src = tf_ord.join(_maybe_b(hot), keys)
     # avgdl reaches the encoder as a broadcast scalar per language (one tiny
@@ -292,15 +297,15 @@ def build_postings(
     # (df, idf, shard) re-attach over the encoded-segment rows below —
     # dropping ~28 uncompressible bytes from every raw posting row.
     lang_flat = [lang_col] if lang_col else []
-    flat_cols = ["term_id", *lang_flat, "salt", "doc_ord",
+    flat_cols = [key_col, *lang_flat, "salt", "doc_ord",
                  F.col("tf").cast("int").alias("tf"),
                  F.col("dl").cast("int").alias("dl")]
-    parted = salted.select(*flat_cols).repartition("term_id", "salt")
-    parted = parted.sortWithinPartitions("term_id", "salt", "doc_ord")
+    parted = salted.select(*flat_cols).repartition(key_col, "salt")
+    parted = parted.sortWithinPartitions(key_col, "salt", "doc_ord")
     seg = parted.mapInPandas(
         _encode_partitions(idx_cfg.block_size, seg_postings, lang_col,
-                           bm25, avgdl_by_lang),
-        schema=_segment_schema(lang_col),
+                           bm25, avgdl_by_lang, key_col=key_col),
+        schema=_segment_schema(lang_col, key_col),
     )
     # dense per-term segment ids over the compressed rows (metadata only —
     # the WAND cursor orders segments by first_ord, not seg_id); df/idf
@@ -308,23 +313,27 @@ def build_postings(
     # of ~#postings raw rows
     from pyspark.sql import Window
 
-    # restore the string boundary: segments (term_id) |><| dictionary
-    # (term_id -> term[, lang], df, idf) over vocab-sized rows; seg_id /
-    # n_segs window now partitions on the int id
-    if lang_col:
-        seg = seg.drop(lang_col)  # restored (with term) by the dict join
-    w = Window.partitionBy("term_id").orderBy("first_ord")
-    return (
-        seg.join(
+    # restore the string boundary (id mode: segments (term_id) |><| the
+    # dictionary over vocab-sized rows) / attach df+idf (string mode);
+    # seg_id / n_segs window partitions on the shuffle key either way
+    if have_ids:
+        if lang_col:
+            seg = seg.drop(lang_col)  # restored (with term) by the dict join
+        seg = seg.join(
             _maybe_b(stats_id.select(*keys, "term_id", "df", "idf")), "term_id"
         )
+    else:
+        seg = seg.join(_maybe_b(term_stats.select(*keys, "df", "idf")), keys)
+    w = Window.partitionBy(key_col).orderBy("first_ord")
+    return (
+        seg
         .withColumn(
             "shard", F.pmod(F.xxhash64("term"), F.lit(idx_cfg.n_shards)).cast("int")
         )
         .withColumn("seg_id", (F.row_number().over(w) - 1).cast("int"))
         .withColumn(
             "n_segs",
-            F.count("*").over(Window.partitionBy("term_id")).cast("int"),
+            F.count("*").over(Window.partitionBy(key_col)).cast("int"),
         )
         .select(
             *keys, "shard", "seg_id", "n_segs", "df", "idf",
