@@ -153,4 +153,13 @@ def logreg_predict(
         lambda acc, x: acc + x,
     )
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-(dot + F.lit(b))))
-    return df.select(id_col, prob.alias("prob"))
+    # zip_with null-pads on length mismatch, which would surface as a
+    # silently-NULL prob; fail loudly instead, matching pyspark.ml's
+    # transform behavior on a dimension mismatch (r4 ADVICE, ml.py:145)
+    guarded = F.when(F.size(feats) == F.lit(len(w)), prob).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"logreg_predict: feature dimension != model dim {len(w)}: "),
+            F.size(feats).cast("string"),
+        )).cast("double")
+    )
+    return df.select(id_col, guarded.alias("prob"))

@@ -300,8 +300,15 @@ def build_postings(
     flat_cols = [key_col, *lang_flat, "salt", "doc_ord",
                  F.col("tf").cast("int").alias("tf"),
                  F.col("dl").cast("int").alias("dl")]
-    parted = salted.select(*flat_cols).repartition(key_col, "salt")
-    parted = parted.sortWithinPartitions(key_col, "salt", "doc_ord")
+    # In STRING mode with a lang column the same term string can occur in
+    # several languages; lang must be a shuffle/sort key or same-term rows
+    # from different languages interleave by doc_ord and the encoder opens a
+    # new segment at every alternation (one segment per posting in the worst
+    # case). In id mode term_id is unique per (term, lang) by construction,
+    # so lang stays out of the key (narrower shuffle rows).
+    group_keys = [key_col] + ([] if have_ids else lang_flat)
+    parted = salted.select(*flat_cols).repartition(*group_keys, "salt")
+    parted = parted.sortWithinPartitions(*group_keys, "salt", "doc_ord")
     seg = parted.mapInPandas(
         _encode_partitions(idx_cfg.block_size, seg_postings, lang_col,
                            bm25, avgdl_by_lang, key_col=key_col),
@@ -324,7 +331,9 @@ def build_postings(
         )
     else:
         seg = seg.join(_maybe_b(term_stats.select(*keys, "df", "idf")), keys)
-    w = Window.partitionBy(key_col).orderBy("first_ord")
+    # seg_id / n_segs number segments within one logical posting list —
+    # (term_id) in id mode, (term, lang) in string mode with languages
+    w = Window.partitionBy(*group_keys).orderBy("first_ord")
     return (
         seg
         .withColumn(
@@ -333,7 +342,7 @@ def build_postings(
         .withColumn("seg_id", (F.row_number().over(w) - 1).cast("int"))
         .withColumn(
             "n_segs",
-            F.count("*").over(Window.partitionBy(key_col)).cast("int"),
+            F.count("*").over(Window.partitionBy(*group_keys)).cast("int"),
         )
         .select(
             *keys, "shard", "seg_id", "n_segs", "df", "idf",

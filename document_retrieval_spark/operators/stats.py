@@ -180,8 +180,25 @@ def term_frequencies_from_turns(
         # join the dictionary back at the API boundary where strings are
         # needed.
         dict_keys = ["term"] + ([lang_col] if lang_col else [])
+        # LEFT join + loud per-row failure on a dictionary miss: an inner
+        # join would silently drop OOV tokens from tf (and hence dl, stats
+        # and the index) when a stale vocab checkpoint or a caller-supplied
+        # partial dictionary doesn't cover the input's vocabulary. The
+        # when-branch is never taken on a covering dict, so this costs
+        # nothing in the designed flows (r4 ADVICE, stats.py:184).
         exploded = exploded.join(
-            F.broadcast(term_dict.select(*dict_keys, "term_id")), dict_keys
+            F.broadcast(term_dict.select(*dict_keys, "term_id")), dict_keys, "left"
+        ).withColumn(
+            "term_id",
+            F.when(
+                F.col("term_id").isNull(),
+                F.raise_error(F.concat(
+                    F.lit("term_frequencies: token absent from the term "
+                          "dictionary (stale vocab checkpoint or partial "
+                          "caller dict): "),
+                    F.col("term"),
+                )).cast("long"),
+            ).otherwise(F.col("term_id")),
         )
         return (
             exploded.groupBy(*key_names, "term_id")

@@ -95,6 +95,7 @@ class HadoopFS:
 
     def __init__(self, spark):
         self._jvm = spark.sparkContext._jvm
+        self._gateway = spark.sparkContext._gateway
         self._conf = spark.sparkContext._jsc.hadoopConfiguration()
 
     def _path(self, path: str):
@@ -121,6 +122,32 @@ class HadoopFS:
             stream.close()
         return out
 
+    def _rename_overwrite(self, src: str, dst: str) -> None:
+        """Rename src over dst in ONE primitive where the filesystem has
+        one. FileSystem.rename does not overwrite on HDFS, so a naive
+        delete+rename leaves a crash window in which NEITHER manifest
+        exists (r4 ADVICE, fs.py:133). FileContext.rename(...,
+        Options.Rename.OVERWRITE) is the HDFS/file:// atomic
+        rename-with-overwrite; if FileContext is unavailable for the
+        scheme (some object-store connectors), fall back to delete+rename
+        — on those stores rename is already copy+delete, so the module
+        docstring's S3 caveat applies regardless."""
+        try:
+            rename_cls = getattr(
+                self._jvm.org.apache.hadoop.fs.Options, "Rename"
+            )
+            opts = self._gateway.new_array(rename_cls, 1)
+            opts[0] = rename_cls.OVERWRITE
+            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                self._path(dst).toUri(), self._conf
+            )
+            fc.rename(self._path(src), self._path(dst), opts)
+        except Exception:
+            fs = self._fs(dst)
+            fs.delete(self._path(dst), False)
+            if not fs.rename(self._path(src), self._path(dst)):
+                raise IOError(f"rename {src} -> {dst} failed")
+
     def write_text_atomic(self, path: str, text: str) -> None:
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         fs = self._fs(path)
@@ -129,17 +156,14 @@ class HadoopFS:
             stream.write(bytearray(text.encode("utf-8")))
         finally:
             stream.close()
-        # atomic on HDFS/file://; copy+delete window on S3A (module docs)
-        fs.delete(self._path(path), False)
-        fs.rename(self._path(tmp), self._path(path))
+        self._rename_overwrite(tmp, path)
 
     def rename(self, src: str, dst: str) -> None:
         fs = self._fs(src)
         parent = self._path(dst).getParent()
         if parent is not None:
             fs.mkdirs(parent)
-        fs.delete(self._path(dst), False)
-        fs.rename(self._path(src), self._path(dst))
+        self._rename_overwrite(src, dst)
 
     def remove(self, path: str) -> None:
         self._fs(path).delete(self._path(path), False)

@@ -73,3 +73,37 @@ def test_build_resume_compact_through_hadoop_fs(spark, tmp_path):
     idx = load_index(spark, out)
     assert idx.doc_map.count() == 38
     assert idx.manifest is not None
+
+
+def test_rename_overwrite_uses_single_primitive(spark, tmp_path, monkeypatch):
+    """r4 ADVICE (fs.py:133): overwriting a manifest must not pass through
+    a state where NEITHER old nor new file exists (delete-then-rename).
+    Assert the FileContext rename-with-OVERWRITE primitive actually
+    succeeds for file:// (no silent fallback), by making the fallback
+    unreachable."""
+    fs = HadoopFS(spark)
+    base = f"file://{tmp_path}/ov"
+    fs.makedirs(base)
+    fs.write_text_atomic(f"{base}/m.json", "v1")
+
+    def boom(path):
+        raise AssertionError("fallback delete+rename path was taken")
+
+    monkeypatch.setattr(fs, "_fs", boom)
+    # _rename_overwrite's primary path never calls self._fs; only the
+    # fallback does — so this overwrite must go through FileContext
+    tmp = f"{base}/m.json.tmp-test"
+    fc_ok = True
+    try:
+        stream = HadoopFS(spark)._fs(tmp).create(
+            HadoopFS(spark)._path(tmp), True
+        )
+        stream.write(bytearray(b"v2"))
+        stream.close()
+        fs._rename_overwrite(tmp, f"{base}/m.json")
+    except AssertionError:
+        fc_ok = False
+    assert fc_ok, "FileContext OVERWRITE rename fell back on file://"
+    monkeypatch.undo()
+    assert fs.read_text(f"{base}/m.json") == "v2"
+    fs.rmtree(base)

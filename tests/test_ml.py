@@ -150,3 +150,29 @@ def test_pca_then_ann_reference_flow(vectors):
     got = brute_force_cosine_topk(base, probes, k=5).collect()
     assert {r["probe_id"] for r in got} == {0, 1, 2}
     assert all(len([x for x in got if x["probe_id"] == p]) == 5 for p in (0, 1, 2))
+
+
+def test_logreg_predict_dimension_mismatch_raises(spark):
+    """r4 ADVICE (ml.py:145): zip_with null-pads on a feature-array length
+    mismatch, which previously surfaced as a silently-NULL prob; it must
+    fail loudly like pyspark.ml's transform would."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from document_retrieval_spark.operators.ml import logreg_fit, logreg_predict
+
+    train = spark.createDataFrame(pd.DataFrame({
+        "vec_id": list(range(8)),
+        "features": [[float(i), float(i % 2)] for i in range(8)],
+        "label": [i % 2 for i in range(8)],
+    }))
+    model = logreg_fit(train)
+    ok = logreg_predict(train, model).collect()
+    assert all(r["prob"] is not None for r in ok)
+    bad = spark.createDataFrame(pd.DataFrame({
+        "vec_id": [0],
+        "features": [[1.0, 2.0, 3.0]],  # dim 3 vs model dim 2
+    }))
+    with _pytest.raises(Exception) as ei:
+        logreg_predict(bad, model).collect()
+    assert "dimension" in str(ei.value)

@@ -185,3 +185,50 @@ def test_shuffle_stats_join_equals_broadcast(spark, index_tables):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_string_mode_multilang_segments_not_interleaved(spark):
+    """r4 ADVICE (postings.py:303): in STRING mode with a lang column the
+    same term string can occur in several languages; lang must be part of
+    the shuffle/sort key or same-term rows from different languages
+    interleave by doc_ord and the encoder opens a new segment per
+    alternation. With all postings far under seg_postings, each
+    (term, lang) posting list must encode as exactly ONE segment with
+    n_segs == 1 counted per (term, lang), not across languages."""
+    import pandas as pd
+
+    from document_retrieval_spark.operators.postings import build_postings
+
+    # 'shared' alternates en/fr by doc_ord — the worst interleave case
+    rows = []
+    for doc_ord in range(8):
+        lang = "en" if doc_ord % 2 == 0 else "fr"
+        rows.append(("d%d" % doc_ord, doc_ord, "shared", 2, 5, lang))
+        rows.append(("d%d" % doc_ord, doc_ord, "only_%s" % lang, 1, 5, lang))
+    tf_ord = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["docid", "doc_ord", "term", "tf", "dl", "lang"])
+    )
+    stats = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("shared", "en", 4, 0.5, 4, 5.0),
+                ("shared", "fr", 4, 0.5, 4, 5.0),
+                ("only_en", "en", 4, 0.5, 4, 5.0),
+                ("only_fr", "fr", 4, 0.5, 4, 5.0),
+            ],
+            columns=["term", "lang", "df", "idf", "n_docs", "avgdl"],
+        )
+    )
+    cfg = IndexConfig(n_shards=4, salt_df_threshold=100, block_size=16,
+                      lang_col="lang")
+    seg = build_postings(
+        tf_ord, stats, cfg, BM25Config(), seg_postings=1024,
+        lang_col="lang", avgdl_by_lang={"en": 5.0, "fr": 5.0},
+    ).collect()
+    by_key = {(r["term"], r["lang"]): r for r in seg}
+    assert len(seg) == 4, [
+        (r["term"], r["lang"], r["seg_id"]) for r in seg
+    ]  # one segment per (term, lang) — no interleave splits
+    for (term, lang), r in by_key.items():
+        assert r["n_segs"] == 1 and r["seg_id"] == 0, (term, lang, r)
+        assert r["n_postings"] == 4

@@ -226,3 +226,26 @@ def test_conv_ordinal_tf_equals_string_tf(spark, transcripts_df):
         ).collect()
     }
     assert got == want and len(got) > 100
+
+
+def test_partial_dict_raises_not_drops(spark, transcripts_df):
+    """r4 ADVICE (stats.py:184): a dictionary that doesn't cover the
+    input's vocabulary must fail loudly, not silently drop OOV tokens from
+    tf/dl/stats. Build the real dict, remove one term, expect an error
+    naming the missing token."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import functions as F
+
+    from document_retrieval_spark.operators.stats import (
+        build_term_dictionary,
+        term_frequencies_from_turns,
+    )
+
+    tdict = build_term_dictionary(transcripts_df, REFERENCE_PROFILE)
+    victim = tdict.orderBy("term").first()["term"]
+    partial = tdict.filter(F.col("term") != victim)
+    with pytest.raises((Py4JJavaError, Exception)) as ei:
+        term_frequencies_from_turns(
+            transcripts_df, REFERENCE_PROFILE, term_dict=partial
+        ).collect()
+    assert "term dictionary" in str(ei.value)
