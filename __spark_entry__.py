@@ -203,7 +203,25 @@ def _stemmed_bm25_sql() -> str:
     stemmed tf parquet the Spark query scores from (.staged/stemmed_tf/).
     Pinned to sf0.01 — the driver's correctness scale; the Spark side
     (re)writes this table deterministically whenever the gate runs."""
-    path = os.path.join(_stemmed_tf_path("sf0.01"), "*.parquet")
+    return _staged_tf_bm25_sql(
+        os.path.join(_stemmed_tf_path("sf0.01"), "*.parquet"),
+        _stemmed_query_values(),
+    )
+
+
+def _lemma_bm25_sql() -> str:
+    """Oracle twin of bm25_topk_lemma (same staged-tf protocol as the
+    stemmed gate): the engine stages the LEMMATIZED tf parquet
+    (.staged/lemma_tf/, hermetic WordNet-morphy — functions/morphy.py) and
+    both sides score from it; lemmatizer correctness itself is covered by
+    tests/test_lemma.py pinned vectors + nltk differential."""
+    return _staged_tf_bm25_sql(
+        os.path.join(_lemma_tf_path("sf0.01"), "*.parquet"),
+        _lemma_query_values(),
+    )
+
+
+def _staged_tf_bm25_sql(path: str, query_values: str) -> str:
     return f"""
 WITH tf AS (SELECT doc_id, term, tf, dl FROM read_parquet('{path}')),
 d AS (SELECT doc_id, any_value(dl) AS dl FROM tf GROUP BY doc_id),
@@ -214,7 +232,7 @@ stats AS (SELECT term, count(*) AS df,
                          / (count(*) + 0.5))) AS idf
           FROM tf GROUP BY term),
 qterms AS (SELECT DISTINCT query_id, term
-           FROM (VALUES {_stemmed_query_values()}) q(query_id, term)),
+           FROM (VALUES {query_values}) q(query_id, term)),
 cand AS (SELECT qt.query_id, tf.doc_id,
                 s.idf * tf.tf * ({K1} + 1.0)
                 / (tf.tf + {K1} * (1.0 - {B} + 1.0 * tf.dl
@@ -258,6 +276,7 @@ FROM tf GROUP BY term
         "bm25_topk_docpart": _bm25_sql(K1, B, standard=False),
         "bm25_topk_standard": _bm25_sql(K1, B, standard=True),
         "bm25_topk_stemmed": _stemmed_bm25_sql(),
+        "bm25_topk_lemma": _lemma_bm25_sql(),
         "bm25_topk_v3": _bm25_variant_sql(query_terms_dl=True),
         "bm25_topk_v5": _bm25_variant_sql(query_terms_dl=False),
         "bm25_per_lang_topk": f"""
@@ -1225,6 +1244,13 @@ def _stemmed_tf_path(sf_dir: str) -> str:
     )
 
 
+def _lemma_tf_path(sf_dir: str) -> str:
+    return os.path.join(
+        _HERE, ".staged", "lemma_tf",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+
+
 def _stemmed_profile():
     from document_retrieval_spark.config import TokenizerConfig
 
@@ -1234,12 +1260,19 @@ def _stemmed_profile():
     )
 
 
-def _stemmed_query_values() -> str:
-    """The inline QUERIES stemmed with the SAME hermetic Porter pipeline the
-    engine uses, rendered as SQL VALUES — the oracle twin's query side."""
-    import re
+def _lemma_profile():
+    from document_retrieval_spark.config import TokenizerConfig
 
-    from document_retrieval_spark.functions.stem import porter_stem
+    return TokenizerConfig(
+        lowercase=True, punct_mode="alnum_space", stopwords=(),
+        lemmatize=True,
+    )
+
+
+def _analyzed_query_values(token_fn) -> str:
+    """The inline QUERIES run through a per-token analyzer, rendered as SQL
+    VALUES — the oracle twin's query side for staged-tf gates."""
+    import re
 
     rows = []
     for qid, qtext in QUERIES:
@@ -1248,9 +1281,26 @@ def _stemmed_query_values() -> str:
             for t in re.sub(r"[^a-zA-Z0-9\s]", " ", qtext.lower()).split()
             if t
         ]
-        for stem in dict.fromkeys(porter_stem(t) for t in toks):
-            rows.append(f"('{qid}', '{stem}')")
+        for out in dict.fromkeys(token_fn(t) for t in toks):
+            rows.append(f"('{qid}', '{out}')")
     return ", ".join(rows)
+
+
+def _stemmed_query_values() -> str:
+    """QUERIES stemmed with the SAME hermetic Porter pipeline the engine
+    uses."""
+    from document_retrieval_spark.functions.stem import porter_stem
+
+    return _analyzed_query_values(porter_stem)
+
+
+def _lemma_query_values() -> str:
+    """QUERIES lemmatized with the SAME hermetic WordNet-morphy the engine
+    uses (nltk is absent in this container, so the engine's fallback IS
+    morphy — deterministic on both sides)."""
+    from document_retrieval_spark.functions.morphy import morphy_noun
+
+    return _analyzed_query_values(morphy_noun)
 
 
 def _q_bm25_topk_stemmed(spark, sf_dir):
@@ -1263,6 +1313,26 @@ def _q_bm25_topk_stemmed(spark, sf_dir):
     while stemmer correctness itself is covered by the differential tests
     in tests/test_stem.py (engine vs independent NumPy/pure-Python oracle).
     """
+    return _staged_tf_topk(spark, sf_dir, _stemmed_profile(),
+                           _stemmed_tf_path(sf_dir))
+
+
+def _q_bm25_topk_lemma(spark, sf_dir):
+    """BM25 top-10 over a LEMMATIZED pipeline (F4,
+    `bm25_ranking.ipynb cell 1:16-17`): hermetic WordNet-morphy noun
+    lemmatization (functions/morphy.py) through the same staged-tf gate
+    protocol as bm25_topk_stemmed — the engine stages the lemmatized tf
+    parquet under .staged/lemma_tf/<sf>/ and the DuckDB twin scores from
+    it; lemmatizer correctness is covered by tests/test_lemma.py (pinned
+    Morphy vectors, nltk differential when importable)."""
+    return _staged_tf_topk(spark, sf_dir, _lemma_profile(),
+                           _lemma_tf_path(sf_dir))
+
+
+def _staged_tf_topk(spark, sf_dir, profile, path):
+    """Shared engine side of the staged-analyzed-tf gates: tokenize with
+    the analyzer profile, stage (doc_id, term, tf, dl) deterministically,
+    then score BM25 from the staged parquet."""
     from pyspark.sql import functions as F
 
     from document_retrieval_spark.config import BM25Config
@@ -1276,7 +1346,6 @@ def _q_bm25_topk_stemmed(spark, sf_dir):
         prepare_query_terms,
     )
 
-    profile = _stemmed_profile()
     bm25 = BM25Config()
     docs = tokenize_documents(
         _docs(spark, sf_dir).selectExpr("doc_id as docid", "text"), profile
@@ -1289,7 +1358,6 @@ def _q_bm25_topk_stemmed(spark, sf_dir):
             F.col("dl").cast("int").alias("dl"),
         )
     )
-    path = _stemmed_tf_path(sf_dir)
     staged.coalesce(1).write.mode("overwrite").parquet(path)  # eager stage
 
     tf = spark.read.parquet(path)
@@ -1332,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_docpart": _q_bm25_topk_docpart,
         "bm25_topk_standard": _q_bm25_topk_standard,
         "bm25_topk_stemmed": _q_bm25_topk_stemmed,
+        "bm25_topk_lemma": _q_bm25_topk_lemma,
         "bm25_topk_v3": _q_bm25_topk_v3,
         "bm25_topk_v5": _q_bm25_topk_v5,
         "bm25_per_lang_topk": _q_bm25_per_lang_topk,

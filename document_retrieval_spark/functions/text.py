@@ -151,9 +151,16 @@ def tokenize_pandas_udf(cfg: TokenizerConfig):
         try:
             from nltk.stem import WordNetLemmatizer
 
-            lemmatizer = WordNetLemmatizer()
+            _wnl = WordNetLemmatizer()
+            _wnl.lemmatize("tests")  # force the wordnet data load NOW —
+            # a missing corpus must fall back here, not per-row on executors
+            lemmatizer = _wnl.lemmatize
         except Exception:
-            lemmatizer = None
+            # hermetic WordNet-morphy (functions/morphy.py): the F4 path no
+            # longer degrades to identity when nltk/wordnet-data is absent
+            from .morphy import morphy_noun
+
+            lemmatizer = morphy_noun
     if cfg.stem_lang and stem_fn is None:
         try:
             from nltk.stem.snowball import SnowballStemmer
@@ -176,7 +183,7 @@ def tokenize_pandas_udf(cfg: TokenizerConfig):
         def one(text):
             toks = oracle_tokenize(text, base_cfg)
             if lemmatizer is not None:
-                toks = [lemmatizer.lemmatize(t) for t in toks]
+                toks = [lemmatizer(t) for t in toks]
             if stem_fn is not None:
                 if stem_splits:
                     toks = [t2 for t in toks for t2 in stem_fn(t)]

@@ -73,6 +73,15 @@ def oracle_tokenize(text: str, cfg: TokenizerConfig) -> list[str]:
         sw = cfg.stopword_set()
         # token kept in ORIGINAL case; compare lowered (`cell 1:14`)
         toks = [t for t in toks if t.lower() not in sw]
+    if cfg.lemmatize:
+        # hermetic WordNet-morphy noun lemmatization (functions/morphy.py)
+        # — the reference lemmatizes en BEFORE stemming
+        # (`bm25_ranking.ipynb cell 1:16-21`); the oracle is always the
+        # deterministic hermetic twin (the engine upgrades to nltk's
+        # WordNetLemmatizer when importable)
+        from ..functions.morphy import morphy_noun
+
+        toks = [morphy_noun(t) for t in toks]
     if cfg.stem_lang == "porter":
         # hermetic Porter (functions/stem.py) — stem BEFORE bigrams, as the
         # reference does (`bm25_ranking.ipynb cell 1:16-25`)

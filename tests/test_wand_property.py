@@ -82,3 +82,44 @@ def test_wand_kernel_randomized():
         assert len(got) == len(want), trial
         for (gd, gs), (wd, ws) in zip(got, want):
             assert gd == wd and math.isclose(gs, ws, rel_tol=1e-9), trial
+
+
+def test_blocked_kernel_bit_identical_to_perdoc():
+    """The vectorized strip kernel must return EXACTLY the per-doc
+    kernel's result — same docs, bit-identical float scores (same
+    ascending-term summation order), same tie behavior — across the same
+    200 randomized posting configurations, plus [lo, hi)-clamped cursors
+    (the docpart layout's bucket ranges)."""
+    from document_retrieval_spark.query.wand import _wand_one_query_blocked
+
+    rng = np.random.default_rng(13)
+    N = 200
+    dls = rng.integers(10, 60, size=N)
+    for trial in range(200):
+        nt = rng.integers(1, 6)
+        terms = []
+        for _ in range(nt):
+            df = int(rng.integers(1, N))
+            ords = np.sort(rng.choice(N, size=df, replace=False))
+            plist = [(int(o), int(rng.integers(1, 5)), int(dls[o])) for o in ords]
+            idf = float(math.log1p((N - df + 0.5) / (df + 0.5)))
+            terms.append((idf, plist))
+        k = int(rng.choice([1, 3, 10, 25]))
+        bs, sp = int(rng.choice([2, 8, 16])), int(rng.choice([8, 32, 64]))
+
+        def mk(lo=None, hi=None):
+            return [
+                _Cursor(idf, make_segs(pl, bs, sp), BM25, AVGDL, order_key=i,
+                        lo=lo, hi=hi)
+                for i, (idf, pl) in enumerate(terms)
+            ]
+
+        want = _wand_one_query(mk(), k)
+        got = _wand_one_query_blocked(mk(), k)
+        assert got == want, trial  # bit-identical scores included
+        # clamped (docpart bucket) variant
+        lo = int(rng.integers(0, N // 2))
+        hi = int(rng.integers(lo + 1, N + 1))
+        want_c = _wand_one_query(mk(lo=lo, hi=hi), k)
+        got_c = _wand_one_query_blocked(mk(lo=lo, hi=hi), k)
+        assert got_c == want_c, (trial, lo, hi)
