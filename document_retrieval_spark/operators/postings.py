@@ -345,7 +345,12 @@ def build_postings(
             F.count("*").over(Window.partitionBy(*group_keys)).cast("int"),
         )
         .select(
-            *keys, "shard", "seg_id", "n_segs", "df", "idf",
+            # id mode persists term_id ALONGSIDE the string: query-time
+            # probes can then push In(term_id, ...) — int64 parquet
+            # stats/dictionaries prune better than string IN at 10^8-term
+            # vocabularies (query/wand.py id-pushdown path)
+            *keys, *(["term_id"] if have_ids else []),
+            "shard", "seg_id", "n_segs", "df", "idf",
             "n_postings", "first_ord", "last_ord", "max_q", "blocks",
         )
     )

@@ -410,6 +410,7 @@ def wand_topk(
     terms: list[str] | None = None,
     max_pushdown_terms: int = 50_000,
     n_query_parts: int | None = None,
+    term_dict: DataFrame | None = None,
 ) -> DataFrame:
     """-> (query_id, rank, docid, score).
 
@@ -422,7 +423,8 @@ def wand_topk(
     it, avoiding any driver-side collect here).
     """
     touched = _touched_segments(
-        query_terms, postings, coll, bm25, lang_col, terms, max_pushdown_terms
+        query_terms, postings, coll, bm25, lang_col, terms,
+        max_pushdown_terms, term_dict
     )
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -505,10 +507,19 @@ def _touched_segments(
     lang_col: str | None,
     terms: list[str] | None,
     max_pushdown_terms: int,
+    term_dict: DataFrame | None = None,
 ) -> DataFrame:
     """Shared probe stage of both WAND layouts: validate the config, prune
     the postings scan to the batch's touched terms, join query terms to
-    their segments and attach each query's avgdl."""
+    their segments and attach each query's avgdl.
+
+    `term_dict` ((term[, lang], term_id)): when the index was built in
+    dictionary mode its postings persist int64 term_id alongside the
+    string — mapping the query batch through the (broadcast) dictionary
+    lets the scan prune with `In(term_id, ...)` instead of a string IN:
+    int64 parquet column stats/dictionaries are cheaper to evaluate and
+    prune better at 10^8-term vocabularies, and the segments join keys on
+    a long instead of a string."""
     join_keys = ["term"] + ([lang_col] if lang_col else [])
     if not bm25.unique_query_terms:
         # duplicate-term scoring (variants 2-5's literal loops) would count
@@ -524,6 +535,45 @@ def _touched_segments(
     # cursor and break the sorted-cursor invariant (doc ordinals must be
     # strictly increasing within a cursor).
     query_terms = query_terms.dropDuplicates(["query_id", *join_keys])
+    if term_dict is not None and "term_id" in postings.columns:
+        # ID-PUSHDOWN PATH (dict-mode index): translate the batch through
+        # the broadcast dictionary (inner join == the OOV-drop semantics
+        # the string path gets from its inner segments join), push the
+        # bounded int64 IN below the scan, and probe the segments on the
+        # long key. The string `term` column rides along from the query
+        # side for the output contract.
+        dict_cols = [*join_keys, "term_id"]
+        qt_id = query_terms.join(
+            F.broadcast(term_dict.select(*dict_cols)), join_keys
+        )
+        ids = [
+            r["term_id"]
+            for r in qt_id.select("term_id")
+            .distinct()
+            .limit(max_pushdown_terms + 1)
+            .collect()
+        ]
+        if len(ids) <= max_pushdown_terms:
+            postings = postings.filter(F.col("term_id").isin(ids))
+        else:
+            postings = postings.join(
+                F.broadcast(qt_id.select("term_id").distinct()),
+                "term_id", "leftsemi",
+            )
+        id_keys = ["term_id"] + ([lang_col] if lang_col else [])
+        touched = postings.drop("term").join(F.broadcast(qt_id), id_keys)
+        if lang_col:
+            touched = touched.join(
+                F.broadcast(coll.select(lang_col, "avgdl")), lang_col
+            )
+            avgdl_col = F.col("avgdl")
+        else:
+            avgdl_scalar = float(coll.select("avgdl").first()["avgdl"])
+            avgdl_col = F.lit(avgdl_scalar)
+        return touched.select(
+            "query_id", "term", "idf", "first_ord", "last_ord", "max_q",
+            "blocks", avgdl_col.alias("_avgdl"),
+        )
     # Explicit IN-filter on the touched terms BEFORE the join: against a
     # persisted index this becomes a parquet PushedFilter (only touched
     # shards/row-groups are read — the "load only that language's model"
@@ -572,6 +622,7 @@ def wand_topk_docpart(
     terms: list[str] | None = None,
     max_pushdown_terms: int = 50_000,
     n_docs: int | None = None,
+    term_dict: DataFrame | None = None,
 ) -> DataFrame:
     """DOC-PARTITIONED block-max WAND -> (query_id, rank, docid, score),
     rank-identical to `wand_topk` (tests assert exact equality).
@@ -601,7 +652,8 @@ def wand_topk_docpart(
             "wand_topk with lang_col for a language-partitioned index"
         )
     touched = _touched_segments(
-        query_terms, postings, coll, bm25, None, terms, max_pushdown_terms
+        query_terms, postings, coll, bm25, None, terms, max_pushdown_terms,
+        term_dict
     )
     spark = touched.sparkSession
     if n_buckets is None:

@@ -27,6 +27,18 @@ if _ROOT not in sys.path:
     sys.path.insert(0, _ROOT)
 
 
+def _term_dict_of(idx, lang_col: str | None = None):
+    """(term[, lang], term_id) from a dict-mode index's persisted stats, or
+    None for string-mode indexes. Enables the WAND probe's int64
+    In(term_id, ...) pushdown (query/wand.py id-pushdown path)."""
+    if "term_id" not in idx.postings.columns:
+        return None
+    if "term_id" not in idx.term_stats.columns:
+        return None
+    cols = ["term"] + ([lang_col] if lang_col else []) + ["term_id"]
+    return idx.term_stats.select(*cols)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--index", required=True)
@@ -136,11 +148,12 @@ def main(argv=None) -> int:
                      "use the default wand scorer with --lang-col")
         topk = wand_topk_docpart(
             qt, idx.postings, idx.doc_map, idx.coll, bm25, k=args.k,
+            term_dict=_term_dict_of(idx),
         )
     else:
         topk = wand_topk(
             qt, idx.postings, idx.doc_map, idx.coll, bm25, k=args.k,
-            lang_col=args.lang_col,
+            lang_col=args.lang_col, term_dict=_term_dict_of(idx, args.lang_col),
         )
     topk.write.mode("overwrite").parquet(args.out)
 
