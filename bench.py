@@ -199,7 +199,14 @@ def _build_and_query(spark, tr_pdf, q_pdf, k=10):
             F.col("conv_id").alias("docid"), "doc_ord", "dl"
         ).persist()
     else:
-        docs_ord = assign_doc_ordinals(dls).persist()
+        # approx_rows: the driver generated the corpus, so the doc count is
+        # known — small corpora then take the single-range-partition path
+        # and the RangePartitioner's sampling job (a whole job of fixed
+        # floor, and the first materialization of the tokenize+tf DAG)
+        # disappears from the build
+        docs_ord = assign_doc_ordinals(
+            dls, approx_rows=int(tr_pdf["conv_id"].nunique())
+        ).persist()
     coll = dls.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
@@ -250,7 +257,18 @@ def _build_and_query(spark, tr_pdf, q_pdf, k=10):
     # overhead), small ones the reverse — both measured, see wand_topk
     par = spark.sparkContext.defaultParallelism
     nqp = par * 8 if len(tr_pdf) > 500_000 else par * 2
-    res = wand_topk(qt, postings, docs_ord, coll, bm25, k=k, n_query_parts=nqp)
+    # the query CSV lives on the driver: tokenize it HERE (the exact
+    # engine analyzer via the oracle twin) and ship the distinct term
+    # list + the avgdl scalar into wand_topk — two fewer driver jobs of
+    # fixed floor per batch (the probe's IN-pushdown no longer needs a
+    # distinct+collect, and avgdl skips its one-row job)
+    from document_retrieval_spark.oracle.bm25 import oracle_tokenize
+
+    batch_terms = sorted({
+        t for q in q_pdf["query"] for t in oracle_tokenize(q, REFERENCE_PROFILE)
+    })
+    res = wand_topk(qt, postings, docs_ord, coll, bm25, k=k, n_query_parts=nqp,
+                    terms=batch_terms, avgdl=avgdl)
     n_res = res.count()
     query_sec = time.time() - t0
     assert n_res > 0 and n_post > 0

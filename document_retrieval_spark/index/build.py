@@ -51,6 +51,12 @@ from ..operators.stats import (
 
 MANIFEST = "_manifest.json"
 PENDING = "_compact_pending"
+CURRENT = "CURRENT.json"
+# versions retained after a flip: the new current plus this many
+# predecessors — an in-flight reader resolved against version N keeps
+# working through the compaction that publishes N+1; readers more than
+# RETAIN_VERSIONS compactions behind are out of contract (documented)
+RETAIN_VERSIONS = 1
 
 
 class IndexBuilder:
@@ -65,6 +71,9 @@ class IndexBuilder:
         # module docs for the S3 rename-atomicity caveat.
         self.fs = fs_for(spark, self.out)
         self.fs.makedirs(self.out)
+        # version the rebuilt-family paths resolve against; build()/compact()
+        # re-point this at the run's target version
+        self._ver = max(1, int(self._pointer()["version"]))
 
     # ---------- checkpoint plumbing ----------
 
@@ -76,7 +85,88 @@ class IndexBuilder:
             "index": vars(c.index),
         }
 
+    # ---- MVCC for the REBUILT stage family (stats + postings) ----
+    # docs/doc_map/tf/vocab are append-only: an in-flight reader's captured
+    # file listing stays valid across a compaction. stats and postings are
+    # REBUILT by compaction, so they live under versioned dirs
+    # (stats/v=N/..., postings/v=N/group=G) with a CURRENT.json pointer:
+    # readers resolve the pointer once at load_index() and keep reading
+    # their version's immutable files while a rebuild writes v=N+1 aside
+    # and flips the pointer atomically (write_text_atomic). Old versions
+    # are reclaimed RETAIN_VERSIONS flips later.
+    _VERSIONED = ("stats", "postings")
+
+    def _pointer(self) -> dict:
+        return read_json(self.fs, os.path.join(self.out, CURRENT)) or {
+            "version": 0, "stale": False,
+        }
+
+    def _write_pointer(self, version: int, stale: bool) -> None:
+        write_json_atomic(
+            self.fs, os.path.join(self.out, CURRENT),
+            {"version": version, "stale": stale},
+        )
+
+    def _family_complete(self, ver: int) -> bool:
+        old = self._ver
+        self._ver = ver
+        try:
+            return self._complete("stats") and all(
+                self._complete(f"postings/group={g}")
+                for g in range(self.cfg.index.n_shard_groups)
+            )
+        finally:
+            self._ver = old
+
+    def _resolve_target_ver(self) -> int:
+        """Version the rebuilt family should target this run: the current
+        one when it is complete under this fingerprint and not stale
+        (everything skips), else the next (write-aside; resume naturally
+        reuses its partial manifests)."""
+        ptr = self._pointer()
+        cur = int(ptr["version"])
+        if cur == 0:
+            return 1
+        if not ptr.get("stale") and self._family_complete(cur):
+            return cur
+        return cur + 1
+
+    def _mark_stale(self) -> None:
+        """A compaction changed tf/stats inputs: the published version no
+        longer matches the appended corpus. Mark the pointer stale (the
+        next build targets cur+1) and discard any PARTIAL next-version
+        work — its manifests would pass the config-fingerprint check but
+        were computed from the pre-append inputs."""
+        ptr = self._pointer()
+        cur = int(ptr["version"])
+        if cur == 0:
+            return
+        for fam in self._VERSIONED:
+            self.fs.rmtree(f"{self.out}/{fam}/v={cur + 1}")
+        self._write_pointer(cur, stale=True)
+
+    def _publish(self, ver: int) -> None:
+        """Atomic pointer flip + reclamation of versions older than the
+        retention window."""
+        ptr = self._pointer()
+        if int(ptr["version"]) != ver or ptr.get("stale"):
+            self._write_pointer(ver, stale=False)
+        for fam in self._VERSIONED:
+            base = f"{self.out}/{fam}"
+            for d in self.fs.listdir(base):
+                if d.startswith("v="):
+                    try:
+                        v = int(d[2:])
+                    except ValueError:
+                        continue
+                    if v < ver - RETAIN_VERSIONS:
+                        self.fs.rmtree(os.path.join(base, d))
+
     def _path(self, stage: str) -> str:
+        for fam in self._VERSIONED:
+            if stage == fam or stage.startswith(fam + "/"):
+                rest = stage[len(fam):]
+                return f"{self.out}/{fam}/v={self._ver}{rest}"
         return f"{self.out}/{stage}"
 
     def _complete(self, stage: str) -> bool:
@@ -129,6 +219,9 @@ class IndexBuilder:
         lang = self.cfg.index.lang_col
         report: dict = {"stages": {}, "skipped": []}
         self._recover_pending()
+        # target version AFTER recovery (a rolled-forward compaction marks
+        # the pointer stale, which moves the target to the next version)
+        self._ver = self._resolve_target_ver()
         self._drop_stale_groups()
 
         # Tokenization strategy, ONE tokenize pass either way:
@@ -591,8 +684,13 @@ class IndexBuilder:
             dst = os.path.join(self.out, dst_rel)
             if self.fs.exists(src):
                 self.fs.rename(src, dst)
-        for stage in commit["invalidate"]:
-            self.fs.remove(os.path.join(self._path(stage), MANIFEST))
+        # `invalidate` (stats + postings) is honored by MARKING THE POINTER
+        # STALE instead of deleting the published version's manifests: the
+        # published stats/postings files stay on disk untouched, so readers
+        # that resolved them before this compaction finish correctly; the
+        # next build() targets version+1 and flips the pointer when done
+        if commit.get("invalidate"):
+            self._mark_stale()
         t0 = time.time()
         for stage, m in commit["manifests"].items():
             self._write_manifest(stage, t0, m["extra"], m["inputs"])
@@ -628,8 +726,24 @@ class IndexBuilder:
             os.path.join(self.out, MANIFEST),
             {"fingerprint": self._fingerprint(), **total},
         )
+        # publish: atomic pointer flip to this run's version + reclaim
+        # versions past the retention window
+        self._publish(self._ver)
         report["total"] = total
         return report
+
+
+def _current_postings_dir(out_dir: str) -> str:
+    """Resolve the published version's postings dir (local paths; used by
+    tests/tools that inspect the physical layout)."""
+    out = out_dir.rstrip("/")
+    p = os.path.join(out, CURRENT)
+    if os.path.exists(p):
+        with open(p) as f:
+            v = int(json.load(f).get("version", 0))
+        if v > 0:
+            return os.path.join(out, "postings", f"v={v}")
+    return os.path.join(out, "postings")
 
 
 @dataclass
@@ -651,17 +765,32 @@ class LoadedIndex:
 
 
 def load_index(spark: SparkSession, out_dir: str) -> LoadedIndex:
+    """Load a persisted index. The rebuilt stage family (stats, postings)
+    resolves through the CURRENT.json version pointer ONCE, here: the
+    returned DataFrames keep reading that version's immutable files even
+    while a concurrent compaction writes the next version aside and flips
+    the pointer (tests/test_compaction.py read-during-compact). The
+    append-only tables (doc_map, tf) are read live — appended docs never
+    appear in this version's postings, so results stay consistent."""
     out = out_dir.rstrip("/")
     fs = fs_for(spark, out)
     manifest = read_json(fs, os.path.join(out, MANIFEST))
+    ptr = read_json(fs, os.path.join(out, CURRENT))
+    if ptr is not None and int(ptr.get("version", 0)) > 0:
+        v = int(ptr["version"])
+        postings_path = f"{out}/postings/v={v}"
+        stats_base = f"{out}/stats/v={v}"
+    else:  # legacy unversioned layout
+        postings_path = f"{out}/postings"
+        stats_base = f"{out}/stats"
     tf = None
     if fs.exists(f"{out}/tf"):
         tf = spark.read.parquet(f"{out}/tf")
     return LoadedIndex(
-        postings=spark.read.parquet(f"{out}/postings"),
+        postings=spark.read.parquet(postings_path),
         doc_map=spark.read.parquet(f"{out}/doc_map"),
-        coll=spark.read.parquet(f"{out}/stats/coll"),
-        term_stats=spark.read.parquet(f"{out}/stats/terms"),
+        coll=spark.read.parquet(f"{stats_base}/coll"),
+        term_stats=spark.read.parquet(f"{stats_base}/terms"),
         tf=tf,
         manifest=manifest,
     )

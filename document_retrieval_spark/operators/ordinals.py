@@ -34,12 +34,25 @@ def dense_rank_ordinals(
     out_col: str,
     n_parts: int | None = None,
     one_based: bool = False,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """df -> df + out_col (bigint dense rank by order_cols, 0- or 1-based).
 
     Rows must be unique in order_cols (callers rank distinct keys). All other
     columns pass through unchanged.
+
+    `approx_rows`: driver-known scale hint (callers that generated or
+    counted the keys already). Ranking is memory-light (the sort carries
+    the key columns only), so below ~500k keys per partition fewer range
+    partitions are strictly better: with n_parts == 1 the RangePartitioner
+    SKIPS its sampling pass entirely — one whole Spark job of fixed floor
+    off the build (measured dominating the ordinal phase's N->4N scaling
+    at the 1M-turn probe, BENCH.md r5). At 10^12-doc scale the hint yields
+    thousands of partitions and the plan is the distributed two-pass one.
     """
+    if n_parts is None and approx_rows is not None:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        n_parts = max(1, min(par, approx_rows // 500_000))
     n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
     # Materialize ONCE (localCheckpoint, eager): both consumers below — the
     # per-partition counts and the final join — must observe the SAME range

@@ -51,19 +51,24 @@ BLOCK_SCHEMA = T.StructType(
     ]
 )
 
-def assign_doc_ordinals(docs: DataFrame, n_parts: int | None = None) -> DataFrame:
+def assign_doc_ordinals(docs: DataFrame, n_parts: int | None = None,
+                        approx_rows: int | None = None) -> DataFrame:
     """docs(docid, ...) -> + doc_ord (dense 0..N-1, ascending by docid).
 
     Fully distributed dense-id assignment, JVM-only (no zipWithIndex: the RDD
     path would pickle every row through Python) — the two-pass range-partition
     + local-rank + broadcast-offsets pattern of operators/ordinals.py.
+    `approx_rows` is the driver-known doc-count hint (see
+    ordinals.dense_rank_ordinals — small corpora then skip the range
+    sampling job).
 
     Replaces the reference's positional index<->docid mapping
     (`bm25_ranking.ipynb cell 6:19-20`) without driver-side arrays.
     """
     from .ordinals import dense_rank_ordinals
 
-    return dense_rank_ordinals(docs, ["docid"], "doc_ord", n_parts=n_parts)
+    return dense_rank_ordinals(docs, ["docid"], "doc_ord", n_parts=n_parts,
+                               approx_rows=approx_rows)
 
 
 def _segment_schema(lang_col: str | None, key_col: str = "term") -> str:

@@ -411,6 +411,7 @@ def wand_topk(
     max_pushdown_terms: int = 50_000,
     n_query_parts: int | None = None,
     term_dict: DataFrame | None = None,
+    avgdl: float | None = None,
 ) -> DataFrame:
     """-> (query_id, rank, docid, score).
 
@@ -424,7 +425,7 @@ def wand_topk(
     """
     touched = _touched_segments(
         query_terms, postings, coll, bm25, lang_col, terms,
-        max_pushdown_terms, term_dict
+        max_pushdown_terms, term_dict, avgdl
     )
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -508,6 +509,7 @@ def _touched_segments(
     terms: list[str] | None,
     max_pushdown_terms: int,
     term_dict: DataFrame | None = None,
+    avgdl: float | None = None,
 ) -> DataFrame:
     """Shared probe stage of both WAND layouts: validate the config, prune
     the postings scan to the batch's touched terms, join query terms to
@@ -568,8 +570,9 @@ def _touched_segments(
             )
             avgdl_col = F.col("avgdl")
         else:
-            avgdl_scalar = float(coll.select("avgdl").first()["avgdl"])
-            avgdl_col = F.lit(avgdl_scalar)
+            if avgdl is None:
+                avgdl = float(coll.select("avgdl").first()["avgdl"])
+            avgdl_col = F.lit(float(avgdl))
         return touched.select(
             "query_id", "term", "idf", "first_ord", "last_ord", "max_q",
             "blocks", avgdl_col.alias("_avgdl"),
@@ -603,8 +606,11 @@ def _touched_segments(
         )
         avgdl_col = F.col("avgdl")
     else:
-        avgdl_scalar = float(coll.select("avgdl").first()["avgdl"])
-        avgdl_col = F.lit(avgdl_scalar)
+        # callers that already hold the collection stats pass the scalar —
+        # one fewer driver job of fixed floor per batch
+        if avgdl is None:
+            avgdl = float(coll.select("avgdl").first()["avgdl"])
+        avgdl_col = F.lit(float(avgdl))
     return touched.select(
         "query_id", "term", "idf", "first_ord", "last_ord", "max_q", "blocks",
         avgdl_col.alias("_avgdl"),

@@ -198,3 +198,74 @@ def test_compact_crash_recovery(spark, tmp_path_factory, monkeypatch):
         gen_queries(all_tr, 15, seed=89)[["query_id", "query"]]
     )
     assert _topk(spark, out_inc, qdf) == _topk(spark, out_cold, qdf)
+
+
+def test_reader_survives_compaction_swap(spark, tmp_path_factory):
+    """Read-during-compact (r4 brief task 6): a reader that resolved the
+    index BEFORE a compaction must finish correctly AFTER the compaction
+    swaps stats/postings — the rebuilt family is MVCC-versioned
+    (stats/v=N, postings/v=N + CURRENT.json pointer; index/build.py), so
+    the reader's version stays on disk through one flip. A fresh
+    load_index sees the new version; versions past the retention window
+    are reclaimed."""
+    import json
+
+    all_tr = gen_transcripts(60, seed=171)
+    convs = sorted(all_tr["conv_id"].unique())
+    base = all_tr[all_tr["conv_id"].isin(convs[:40])]
+    d1 = all_tr[all_tr["conv_id"].isin(convs[40:50])]
+    d2 = all_tr[all_tr["conv_id"].isin(convs[50:])]
+    queries = gen_queries(base, 15, seed=172)
+    qdf = spark.createDataFrame(queries[["query_id", "query"]])
+
+    out = str(tmp_path_factory.mktemp("idx_mvcc"))
+    b = IndexBuilder(spark, CFG, out)
+    b.build(spark.createDataFrame(base, schema=transcripts_schema()))
+
+    def ptr():
+        with open(os.path.join(out, "CURRENT.json")) as f:
+            return json.load(f)
+
+    assert ptr() == {"version": 1, "stale": False}
+
+    # reader A resolves the v1 index NOW and runs once
+    reader = load_index(spark, out)
+    qt = prepare_query_terms(qdf, CFG.tokenizer, CFG.bm25)
+
+    def run(idx):
+        res = wand_topk(qt, idx.postings, idx.doc_map, idx.coll, CFG.bm25,
+                        k=10)
+        return {
+            (r["query_id"], r["rank"]): (r["docid"], round(r["score"], 9))
+            for r in res.collect()
+        }
+
+    before = run(reader)
+    assert before
+
+    # compaction swaps the index to v2 while reader A still holds v1
+    b.compact(spark.createDataFrame(d1, schema=transcripts_schema()))
+    assert ptr() == {"version": 2, "stale": False}
+    assert os.path.isdir(os.path.join(out, "postings", "v=1"))  # retained
+    assert os.path.isdir(os.path.join(out, "stats", "v=1"))
+
+    # reader A re-executes its HELD DataFrames: same files, same results —
+    # the old stats (N, avgdl, idf) and postings are the consistent v1
+    # snapshot, and appended doc_map rows can't surface (not in v1
+    # postings)
+    after_swap = run(reader)
+    assert after_swap == before
+
+    # a fresh resolve sees the compacted v2 index: strictly more docs
+    fresh = load_index(spark, out)
+    assert fresh.coll.first()["n_docs"] > reader.coll.first()["n_docs"]
+    got_new = run(fresh)
+    assert got_new  # scores reflect the new collection stats
+
+    # second compaction: v3 published, v1 falls out of the retention
+    # window and is reclaimed; v2 (the previous version) is retained
+    b.compact(spark.createDataFrame(d2, schema=transcripts_schema()))
+    assert ptr() == {"version": 3, "stale": False}
+    assert not os.path.exists(os.path.join(out, "postings", "v=1"))
+    assert os.path.isdir(os.path.join(out, "postings", "v=2"))
+    assert not os.path.exists(os.path.join(out, "stats", "v=1"))

@@ -103,7 +103,9 @@ def main() -> int:
             F.col("conv_id").alias("docid"), "doc_ord", "dl"
         ).persist()
     else:
-        docs_ord = assign_doc_ordinals(dls).persist()
+        docs_ord = assign_doc_ordinals(
+            dls, approx_rows=int(tr_pdf["conv_id"].nunique())
+        ).persist()
     docs_ord.count()
     ph["ordinals"] = time.time() - t0
 
@@ -134,7 +136,14 @@ def main() -> int:
 
     t0 = time.time()
     qt = prepare_query_terms(queries, REFERENCE_PROFILE, bm25)
-    res = wand_topk(qt, postings, docs_ord, coll, bm25, k=10)
+    from document_retrieval_spark.oracle.bm25 import oracle_tokenize
+
+    batch_terms = sorted({
+        t for q in q_pdf["query"] for t in oracle_tokenize(q, REFERENCE_PROFILE)
+    })
+    avgdl_s = float(coll.first()["avgdl"])
+    res = wand_topk(qt, postings, docs_ord, coll, bm25, k=10,
+                    terms=batch_terms, avgdl=avgdl_s)
     n_res = res.count()
     ph["wand"] = time.time() - t0
 
