@@ -54,6 +54,20 @@ def dense_rank_ordinals(
         par = df.sparkSession.sparkContext.defaultParallelism
         n_parts = max(1, min(par, approx_rows // 500_000))
     n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    if n_parts == 1:
+        # Single-range case: a global-order window is DETERMINISTIC (no
+        # sampled boundaries to pin), so the materialization barrier below
+        # is unnecessary — the rank computes lazily INSIDE whatever job
+        # consumes it: zero extra Spark jobs of fixed floor (measured on
+        # the 1M-turn scaling probe, BENCH.md r5). The one-reducer sort is
+        # deliberate and bounded: callers only reach n_parts == 1 via the
+        # approx_rows hint (< 500k keys) or explicitly.
+        w1 = Window.orderBy(*order_cols)
+        base1 = 1 if one_based else 0
+        return df.withColumn(
+            out_col,
+            (F.row_number().over(w1) - F.lit(1) + F.lit(base1)).cast("long"),
+        )
     # Materialize ONCE (localCheckpoint, eager): both consumers below — the
     # per-partition counts and the final join — must observe the SAME range
     # boundaries and row order, and two separate executions of a

@@ -232,3 +232,28 @@ def test_string_mode_multilang_segments_not_interleaved(spark):
     for (term, lang), r in by_key.items():
         assert r["n_segs"] == 1 and r["seg_id"] == 0, (term, lang, r)
         assert r["n_postings"] == 4
+
+
+def test_single_partition_ordinals_lazy_and_dense(spark):
+    """n_parts == 1 (reached via the driver-known approx_rows hint) takes
+    the deterministic global-window path: no materialization barrier, same
+    dense 0..N-1 ascending-by-key ordinals as the two-pass plan."""
+    import pandas as pd
+
+    from document_retrieval_spark.operators.postings import assign_doc_ordinals
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "docid": [f"c{i:04d}" for i in range(300)][::-1],
+            "dl": list(range(300))[::-1],
+        })
+    )
+    a = {r["docid"]: r["doc_ord"]
+         for r in assign_doc_ordinals(docs, approx_rows=300).collect()}
+    b = {r["docid"]: r["doc_ord"]
+         for r in assign_doc_ordinals(docs, n_parts=4).collect()}
+    assert a == b
+    assert sorted(a.values()) == list(range(300))
+    # ascending by docid
+    ordered = [k for k, _ in sorted(a.items(), key=lambda kv: kv[1])]
+    assert ordered == sorted(a)
