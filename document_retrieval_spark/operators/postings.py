@@ -312,7 +312,18 @@ def build_postings(
     # case). In id mode term_id is unique per (term, lang) by construction,
     # so lang stays out of the key (narrower shuffle rows).
     group_keys = [key_col] + ([] if have_ids else lang_flat)
-    parted = salted.select(*flat_cols).repartition(*group_keys, "salt")
+    # EXPLICIT partition count: a column-only repartition is an AQE
+    # coalesce target, and AQE's 64MB advisory size produced 11 tasks on 8
+    # cores here (1.4 waves — half the cores idle in the straggler wave,
+    # measured +30% on the encode stage via the event log, BENCH.md r5).
+    # A user-numbered repartition is exempt from coalescing; size it for
+    # whole waves with enough granularity to smooth (term, salt) skew.
+    spark = salted.sparkSession
+    n_enc = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        spark.sparkContext.defaultParallelism * 4,
+    )
+    parted = salted.select(*flat_cols).repartition(n_enc, *group_keys, "salt")
     parted = parted.sortWithinPartitions(*group_keys, "salt", "doc_ord")
     seg = parted.mapInPandas(
         _encode_partitions(idx_cfg.block_size, seg_postings, lang_col,
