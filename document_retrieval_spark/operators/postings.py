@@ -142,7 +142,6 @@ def _encode_partitions(block_size: int, seg_postings: int, lang_col: str | None,
     idf, shard) and per-posting derivations have no business riding an
     O(postings) shuffle when they can be recomputed or re-joined over the
     ~1000x smaller encoded-segment rows."""
-    key_cols = [key_col] + ([lang_col] if lang_col else []) + ["salt"]
     out_cols = (
         [key_col] + ([lang_col] if lang_col else [])
         + ["n_postings", "first_ord", "last_ord", "max_q", "blocks"]
@@ -155,7 +154,17 @@ def _encode_partitions(block_size: int, seg_postings: int, lang_col: str | None,
             if key_is_id
             else pdf[key_col].to_numpy()
         )
-        salts = pdf["salt"].to_numpy()
+        # PACKED shuffle columns (build_postings packs them): _os carries
+        # salt<<40 | doc_ord (sorting by _os IS sorting by (salt, doc_ord)
+        # — salt occupies the high bits), _td carries tf<<32 | dl. ~16
+        # uncompressible bytes per raw posting row off the one big shuffle
+        # vs four separate fields, and the sort key is a single long.
+        os_ = pdf["_os"].to_numpy(np.int64)
+        td = pdf["_td"].to_numpy(np.int64)
+        salts = os_ >> np.int64(40)
+        ords = os_ & np.int64((1 << 40) - 1)
+        tfs = td >> np.int64(32)
+        dls = td & np.int64(0xFFFFFFFF)
         change = np.ones(len(pdf), dtype=bool)
         change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
         if lang_col:
@@ -163,9 +172,6 @@ def _encode_partitions(block_size: int, seg_postings: int, lang_col: str | None,
             change[1:] |= langs[1:] != langs[:-1]
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], len(pdf))
-        ords = pdf["doc_ord"].to_numpy(np.int64)
-        tfs = pdf["tf"].to_numpy(np.int64)
-        dls = pdf["dl"].to_numpy(np.int64)
         if lang_col:
             # explicit dict lookup per distinct language: a missing (or NA)
             # language must KeyError at build time, not silently map to NaN
@@ -190,6 +196,10 @@ def _encode_partitions(block_size: int, seg_postings: int, lang_col: str | None,
                 rows.append(row)
         return pd.DataFrame(rows, columns=out_cols)
 
+    # carry detection compares the group key (key_col[, lang], salt); salt
+    # is the high 24 bits of the packed _os column
+    carry_cols = [key_col] + ([lang_col] if lang_col else [])
+
     def fn(batches):
         carry: pd.DataFrame | None = None
         for pdf in batches:
@@ -198,11 +208,13 @@ def _encode_partitions(block_size: int, seg_postings: int, lang_col: str | None,
             carry = None
             if not len(pdf):
                 continue
-            last_key = tuple(pdf.iloc[-1][c] for c in key_cols)
             # the trailing group is contiguous at the end (sorted input)
             mask = np.ones(len(pdf), dtype=bool)
-            for c, v in zip(key_cols, last_key):
-                mask &= pdf[c].to_numpy() == v
+            for c in carry_cols:
+                col = pdf[c].to_numpy()
+                mask &= col == pdf.iloc[-1][c]
+            os_np = pdf["_os"].to_numpy(np.int64) >> np.int64(40)
+            mask &= os_np == os_np[-1]
             # length of the trailing run of True
             rev = mask[::-1]
             n_tail = int(np.argmin(rev)) if not rev.all() else len(pdf)
@@ -302,9 +314,32 @@ def build_postings(
     # (df, idf, shard) re-attach over the encoded-segment rows below —
     # dropping ~28 uncompressible bytes from every raw posting row.
     lang_flat = [lang_col] if lang_col else []
-    flat_cols = [key_col, *lang_flat, "salt", "doc_ord",
-                 F.col("tf").cast("int").alias("tf"),
-                 F.col("dl").cast("int").alias("dl")]
+    # PACK the per-posting fields into two longs for the one big shuffle:
+    # _os = salt<<40 | doc_ord (sorting by _os == sorting by (salt,
+    # doc_ord); partitioning hashes the high bits back out), _td =
+    # tf<<32 | dl. UnsafeRow spends 8 bytes per fixed-width field
+    # regardless of declared width, so two fields instead of four is ~16
+    # uncompressible bytes per raw posting row off the exchange (~29% of
+    # the non-key row) and the secondary sort key becomes one long
+    # (radix-friendly prefix). Bounds: doc_ord < 2^40 (~10^12 docs, 50x
+    # the 2x10^10-doc target) and salt < 2^23 (= doc_ord/seg_postings at
+    # the bound); violations fail loudly rather than pack garbage.
+    os_ok = (F.col("doc_ord") >= 0) & (F.col("doc_ord") < F.lit(1 << 40))
+    pack_os = F.when(
+        os_ok,
+        F.shiftleft(F.col("salt").cast("long"), 40) + F.col("doc_ord"),
+    ).otherwise(
+        F.raise_error(F.concat(
+            F.lit("build_postings: doc_ord out of the packable range "
+                  "[0, 2^40): "),
+            F.col("doc_ord").cast("string"),
+        )).cast("long")
+    ).alias("_os")
+    pack_td = (
+        F.shiftleft(F.col("tf").cast("long"), 32)
+        + F.col("dl").cast("int").cast("long")
+    ).alias("_td")
+    flat_cols = [key_col, *lang_flat, pack_os, pack_td]
     # In STRING mode with a lang column the same term string can occur in
     # several languages; lang must be a shuffle/sort key or same-term rows
     # from different languages interleave by doc_ord and the encoder opens a
@@ -323,8 +358,9 @@ def build_postings(
         int(spark.conf.get("spark.sql.shuffle.partitions")),
         spark.sparkContext.defaultParallelism * 4,
     )
-    parted = salted.select(*flat_cols).repartition(n_enc, *group_keys, "salt")
-    parted = parted.sortWithinPartitions(*group_keys, "salt", "doc_ord")
+    salt_of = F.shiftright(F.col("_os"), 40)
+    parted = salted.select(*flat_cols).repartition(n_enc, *group_keys, salt_of)
+    parted = parted.sortWithinPartitions(*group_keys, "_os")
     seg = parted.mapInPandas(
         _encode_partitions(idx_cfg.block_size, seg_postings, lang_col,
                            bm25, avgdl_by_lang, key_col=key_col),
