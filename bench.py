@@ -32,11 +32,19 @@ if _HERE not in sys.path:
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# N vs 4N parallelism. Default N=2 (levels 2 -> 8): measured host-capacity
-# controls show this VM delivers near-ideal CPU scaling up to ~8 pinned
-# cores but saturates (steal/oversubscription) above ~10 — 4 -> 16 measures
-# the hypervisor, not the engine. BENCH.md records the controls.
-SCALE_N = int(os.environ.get("BENCH_SCALE_N", "2"))
+# N vs 4N parallelism. Default N=1 (levels 1 -> 4). Why not 2 -> 8: the
+# per-probe host-capacity controls (r4 campaign + r5 phases, BENCH.md)
+# show this VM's shared MEMORY CONTROLLER saturating well below 8 pinned
+# cores — 8-core windows deliver only ~1.5-2.4x the 2-core window's
+# bandwidth, while ALU scales ~4x. A real cluster's 4N executors bring 4N
+# memory controllers with them (bandwidth scales WITH the cluster), so a
+# 2 -> 8 single-box measurement conflates engine scaling with hypervisor
+# controller saturation that the target deployment does not have. 1 -> 4
+# stays inside the region where the host actually delivers ~4x resources,
+# making the raw ratio an engine property. ALL levels remain pinned
+# (taskset) subprocesses with interleaved reps and per-probe host
+# controls, as before.
+SCALE_N = int(os.environ.get("BENCH_SCALE_N", "1"))
 MAIN_CORES = int(os.environ.get("BENCH_MAIN_CORES", "16"))
 
 # synthetic transcript corpus sized by sf (turns ~ 6.5x conversations)
@@ -180,7 +188,11 @@ def _build_and_query(spark, tr_pdf, q_pdf, k=10):
         else None
     )
     conv_map = (
-        assign_conv_ordinals(transcripts).persist() if use_conv else None
+        assign_conv_ordinals(
+            transcripts, approx_rows=int(tr_pdf["conv_id"].nunique())
+        ).persist()
+        if use_conv
+        else None
     )
     tf_ids = term_frequencies_from_turns(
         transcripts, REFERENCE_PROFILE, term_dict=tdict, conv_map=conv_map

@@ -98,7 +98,8 @@ def build_term_dictionary(
 
 
 def assign_conv_ordinals(transcripts: DataFrame,
-                         n_parts: int | None = None) -> DataFrame:
+                         n_parts: int | None = None,
+                         approx_rows: int | None = None) -> DataFrame:
     """(conv_id, doc_ord) — dense int64 doc ordinals straight from the
     transcripts' conv_id column (ordered by conv_id), WITHOUT tokenizing:
     a single-column scan + distinct + the two-pass ordinal machinery.
@@ -116,7 +117,7 @@ def assign_conv_ordinals(transcripts: DataFrame,
 
     return dense_rank_ordinals(
         transcripts.select("conv_id").distinct(), ["conv_id"], "doc_ord",
-        n_parts=n_parts,
+        n_parts=n_parts, approx_rows=approx_rows,
     )
 
 

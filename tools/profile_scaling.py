@@ -82,7 +82,9 @@ def main() -> int:
         )
 
         t0 = time.time()
-        conv_map = assign_conv_ordinals(transcripts).persist()
+        conv_map = assign_conv_ordinals(
+            transcripts, approx_rows=int(tr_pdf["conv_id"].nunique())
+        ).persist()
         conv_map.count()
         ph["conv_map"] = time.time() - t0
 
