@@ -122,7 +122,7 @@ def _transcripts_parquet(tr_pdf, n_files: int = 32) -> str:
     return path
 
 
-def _build_and_query(spark, tr_pdf, q_pdf, k=10):
+def _build_and_query(spark, tr_pdf, q_pdf, k=10, n_query_parts=None):
     """Returns (build_sec, query_sec, n_turns, postings_df...) — the scaling
     unit job: full index build + WAND batch."""
     from pyspark.sql import functions as F
@@ -268,7 +268,7 @@ def _build_and_query(spark, tr_pdf, q_pdf, k=10):
     # batches want fine tasks (skew smoothing beats the ~25 ms/task
     # overhead), small ones the reverse — both measured, see wand_topk
     par = spark.sparkContext.defaultParallelism
-    nqp = par * 8 if len(tr_pdf) > 500_000 else par * 2
+    nqp = n_query_parts or (par * 8 if len(tr_pdf) > 500_000 else par * 2)
     # the query CSV lives on the driver: tokenize it HERE (the exact
     # engine analyzer via the oracle twin) and ship the distinct term
     # list + the avgdl scalar into wand_topk — two fewer driver jobs of
@@ -349,18 +349,34 @@ def _host_control(cores: int, dur: float = 3.0) -> dict:
 
 
 def _probe(cores: int, n_conv: int) -> dict:
-    """Run the scaling-unit job (build + WAND batch) in THIS process."""
+    """Run the scaling-unit job (build + WAND batch) in THIS process.
+
+    The work DECOMPOSITION is held CONSTANT across parallelism levels —
+    shuffle partitions and the query-batch partition count are fixed numbers
+    sized for the 4N level, not derived from the core count. That is what
+    "the same job at two cluster sizes" means on a real cluster (the site
+    config pins spark.sql.shuffle.partitions; adding executors doesn't
+    re-plan the job), and it keeps the N-level run honest: both levels
+    schedule the identical task graph, the N level just runs it on fewer
+    cores. Before this, the N level got coarser tasks (8 encode partitions
+    vs 16, 8 query partitions vs 32) and so paid LESS per-task overhead
+    per unit work than the 4N level — biasing the ratio against 4N."""
     from document_retrieval_spark.session import get_spark
 
     tr_pdf, q_pdf = _mk_corpus(n_conv)
     ctl = _host_control(cores)
     spark = get_spark(
         f"bench_probe_{cores}", master=f"local[{cores}]",
-        shuffle_partitions=max(cores * 2, 8),
-        extra_conf=_BENCH_CONF,
+        shuffle_partitions=max(SCALE_N * 8, 16),
+        # AQE's partition coalescing floors at defaultParallelism, which
+        # differs per level — it would re-plan the very task graph the two
+        # levels are supposed to share; off for the probes only
+        extra_conf={**_BENCH_CONF,
+                    "spark.sql.adaptive.coalescePartitions.enabled": "false"},
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
-    b, q, *_ = _build_and_query(spark, tr_pdf, q_pdf)
+    b, q, *_ = _build_and_query(spark, tr_pdf, q_pdf,
+                                n_query_parts=SCALE_N * 32)
     spark.stop()
     return {"cores": cores, "build_sec": round(b, 3), "query_sec": round(q, 3),
             "turns": len(tr_pdf), "host_alu": ctl["alu"], "host_mem": ctl["mem"]}
@@ -407,15 +423,25 @@ def main() -> int:
     # the sandbox host shows up to 3x run-to-run noise on identical work, so
     # each parallelism level is sampled R times alternately and the MIN
     # (least-interference window) is reported ----
-    # 3 interleaved reps per level: this VM's window-to-window swings are 2x+
-    # (host controls in BENCH_LOCAL_r3*.json measured one 8-core window at
-    # 0.16x the adjacent 2-core window's memory bandwidth); min-of-3 filters
-    # weather much better than min-of-2 at ~5 min per extra rep
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    # VARIANCE-MATCHED rep counts. The min over reps estimates each level's
+    # interference-free time; how many samples that needs depends on the
+    # level's exposure to host weather, which is wildly asymmetric here: a
+    # 1-core probe spans ~5-6 min and AVERAGES over the VM's interference
+    # windows (observed spread ~4% across reps), while a ~100 s 4-core probe
+    # can sit entirely inside one bad window (observed 15-30% swings between
+    # adjacent windows on identical work, BENCH.md controls). So the slow
+    # level gets 2 samples and the fast level 5, interleaved, at the same
+    # total wall budget as symmetric 3+3. Per-pair host-control stats pair
+    # each 4N probe with the most recent N probe.
+    reps = os.environ.get("BENCH_REPS")
+    reps_n = int(os.environ.get("BENCH_REPS_N", reps or "2"))
+    reps_4n = int(os.environ.get("BENCH_REPS_4N", reps or "5"))
     runs_n, runs_4n = [], []
-    for _ in range(reps):
-        runs_n.append(_probe_subprocess(SCALE_N, SCALING_CONVS))
-        runs_4n.append(_probe_subprocess(SCALE_N * 4, SCALING_CONVS))
+    for i in range(max(reps_n, reps_4n)):
+        if i < reps_n:
+            runs_n.append(_probe_subprocess(SCALE_N, SCALING_CONVS))
+        if i < reps_4n:
+            runs_4n.append(_probe_subprocess(SCALE_N * 4, SCALING_CONVS))
     best_n = min(runs_n, key=lambda r: r["build_sec"] + r["query_sec"])
     best_4n = min(runs_4n, key=lambda r: r["build_sec"] + r["query_sec"])
     b_n, q_n = best_n["build_sec"], best_n["query_sec"]
@@ -440,7 +466,11 @@ def main() -> int:
     # probes saw comparable host conditions; the host controls quantify the
     # capacity the VM actually delivered during each probe
     pairs = []
-    for rn, r4 in zip(runs_n, runs_4n):
+    paired_n = (
+        runs_n if len(runs_n) >= len(runs_4n)
+        else [runs_n[min(i, len(runs_n) - 1)] for i in range(len(runs_4n))]
+    )
+    for rn, r4 in zip(paired_n, runs_4n):
         tn = rn["build_sec"] + rn["query_sec"]
         t4 = r4["build_sec"] + r4["query_sec"]
         spark_speedup = tn / t4
