@@ -537,6 +537,33 @@ SELECT doc_id,
              / greatest(len(toks), 1), 6) AS avg_token_len
 FROM t
 """,
+        "repetition_stats": r"""
+WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)),
+                                      '\s+'), x -> x <> '') AS toks
+           FROM documents),
+b AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS ord FROM t),
+bg AS (SELECT doc_id, tok || ' ' || lead(tok) OVER
+              (PARTITION BY doc_id ORDER BY ord) AS bigram FROM b),
+bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg
+       WHERE bigram IS NOT NULL GROUP BY doc_id, bigram),
+top AS (SELECT doc_id, max(c) AS top_c FROM bc GROUP BY doc_id)
+SELECT t.doc_id AS doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       CAST(greatest(len(toks)-1, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(top_c, 0) AS BIGINT) AS top_bigram_count,
+       round(CAST(coalesce(top_c, 0) AS DOUBLE)
+             / greatest(len(toks)-1, 1), 6) AS top_bigram_frac,
+       round(CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+             / greatest(len(toks), 1), 6) AS dup_token_frac
+FROM t LEFT JOIN top ON t.doc_id = top.doc_id
+""",
+        "sample_deterministic": r"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE CAST(concat('0x', substr(md5(concat('s0|', CAST(doc_id AS VARCHAR))),
+                               1, 8)) AS BIGINT) % 10000 < 1000
+""",
         "lang_id": f"""
 WITH t AS (SELECT doc_id,
                   list_filter(string_split_regex(trim(lower(text)), '\\s+'),
@@ -1103,6 +1130,20 @@ def _q_text_quality(spark, sf_dir):
     )
 
 
+def _q_repetition_stats(spark, sf_dir):
+    from document_retrieval_spark.functions.analysis import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_sample_deterministic(spark, sf_dir):
+    from document_retrieval_spark.functions.analysis import deterministic_sample
+
+    return deterministic_sample(_docs(spark, sf_dir), "doc_id", 0.10).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def _q_lang_id(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1422,6 +1463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "token_counts_wordpunct": _q_token_counts_wordpunct,
         "text_quality": _q_text_quality,
+        "repetition_stats": _q_repetition_stats,
+        "sample_deterministic": _q_sample_deterministic,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
     }

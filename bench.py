@@ -434,19 +434,21 @@ def main() -> int:
     # total wall budget as symmetric 3+3. Per-pair host-control stats pair
     # each 4N probe with the most recent N probe.
     reps = os.environ.get("BENCH_REPS")
-    reps_n = int(os.environ.get("BENCH_REPS_N", reps or "2"))
-    reps_4n = int(os.environ.get("BENCH_REPS_4N", reps or "5"))
+    skip_scaling = os.environ.get("BENCH_SKIP_SCALING", "0") != "0"
+    reps_n = 0 if skip_scaling else int(os.environ.get("BENCH_REPS_N", reps or "2"))
+    reps_4n = 0 if skip_scaling else int(os.environ.get("BENCH_REPS_4N", reps or "5"))
     runs_n, runs_4n = [], []
     for i in range(max(reps_n, reps_4n)):
         if i < reps_n:
             runs_n.append(_probe_subprocess(SCALE_N, SCALING_CONVS))
         if i < reps_4n:
             runs_4n.append(_probe_subprocess(SCALE_N * 4, SCALING_CONVS))
-    best_n = min(runs_n, key=lambda r: r["build_sec"] + r["query_sec"])
-    best_4n = min(runs_4n, key=lambda r: r["build_sec"] + r["query_sec"])
-    b_n, q_n = best_n["build_sec"], best_n["query_sec"]
-    b_4n, q_4n = best_4n["build_sec"], best_4n["query_sec"]
-    scaling_turns = best_n["turns"]
+    if not skip_scaling:
+        best_n = min(runs_n, key=lambda r: r["build_sec"] + r["query_sec"])
+        best_4n = min(runs_4n, key=lambda r: r["build_sec"] + r["query_sec"])
+        b_n, q_n = best_n["build_sec"], best_n["query_sec"]
+        b_4n, q_4n = best_4n["build_sec"], best_4n["query_sec"]
+        scaling_turns = best_n["turns"]
 
     # ---- main session for the headline queries (sf-sized corpus) ----
     from document_retrieval_spark.session import get_spark
@@ -460,8 +462,12 @@ def main() -> int:
     queries_sec["index_build"] = round(b_main, 3)
     queries_sec["bm25_wand"] = round(q_main, 3)
 
-    thr_n = scaling_turns / (b_n + q_n)
-    thr_4n = scaling_turns / (b_4n + q_4n)
+    if skip_scaling:
+        # BENCH_SKIP_SCALING=1: headline-only iteration runs (the driver
+        # always runs the full bench — this knob is for local A/Bs)
+        b_n = q_n = b_4n = q_4n = scaling_turns = None
+    thr_n = scaling_turns / (b_n + q_n) if not skip_scaling else 0.0
+    thr_4n = scaling_turns / (b_4n + q_4n) if not skip_scaling else 0.0
     # per-pair stats: each (n, 4n) pair ran adjacently in time, so its two
     # probes saw comparable host conditions; the host controls quantify the
     # capacity the VM actually delivered during each probe
@@ -491,7 +497,8 @@ def main() -> int:
                 if blend > 0 else None,
             }
         )
-    extras["scaling"] = {
+    if not skip_scaling:
+        extras["scaling"] = {
         "n_cores": SCALE_N,
         "4n_cores": SCALE_N * 4,
         "turns": scaling_turns,
@@ -515,8 +522,11 @@ def main() -> int:
     extras["index"] = {
         "turns_per_sec_build": round(n_turns / b_main, 1),
         "queries_per_sec": round(N_QUERIES / q_main, 1),
-        "scaling_turns_per_sec_build_4n": round(scaling_turns / b_4n, 1),
     }
+    if not skip_scaling:
+        extras["index"]["scaling_turns_per_sec_build_4n"] = round(
+            scaling_turns / b_4n, 1
+        )
 
     # ---- remaining headline queries on the 4N session ----
     from document_retrieval_spark.config import REFERENCE_PROFILE, BM25Config

@@ -112,6 +112,94 @@ def lang_id_expr(col: Column) -> Column:
     return expr
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher/MassiveText-style repetition quality signals per document:
+    duplicate-token fraction and most-frequent-word-bigram fraction (the
+    published MassiveText filter drops documents whose top 2-gram covers
+    more than ~0.20 of the text — Rae et al. 2021, "Scaling Language
+    Models", appendix A1.1; public heuristic, reimplemented from the paper's
+    description).
+
+    SCALE NOTE: everything here is ROW-LOCAL — the top-bigram count is a
+    max-run scan over the doc's own sorted bigram array (array_sort +
+    aggregate), so there is NO explode and NO shuffle; the operator is a
+    pure map over the corpus and whole-stage-codegens. At 100 TB that is
+    the difference between a scan and a (doc_id, bigram)-keyed exchange.
+    """
+    toks = ws_tokens(F.col(text_col))
+    n = F.size(toks)
+    # bigrams "t[i] t[i+1]" (element_at is 1-based); empty array for n < 2
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # longest equal-run in the sorted bigram array == max bigram frequency.
+    # The "" sentinel can't collide: tokens are non-empty, bigrams contain
+    # a space.
+    run0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def _step(acc, x):
+        new_run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
+        )
+
+    top_bigram = F.aggregate(
+        F.array_sort(bigrams), run0, _step, lambda acc: acc["best"]
+    )
+    n_distinct = F.size(F.array_distinct(toks))
+    n_bigrams = F.greatest(n - 1, F.lit(0))
+    return df.select(
+        id_col,
+        n.cast("bigint").alias("n_tokens"),
+        n_distinct.cast("bigint").alias("n_distinct_tokens"),
+        n_bigrams.cast("bigint").alias("n_bigrams"),
+        top_bigram.cast("bigint").alias("top_bigram_count"),
+        F.round(
+            top_bigram.cast("double") / F.greatest(n_bigrams, F.lit(1)), 6
+        ).alias("top_bigram_frac"),
+        F.round(
+            (n - n_distinct).cast("double") / F.greatest(n, F.lit(1)), 6
+        ).alias("dup_token_frac"),
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "s0"
+) -> DataFrame:
+    """Reproducible hash-threshold sampling: keep rows whose salted-md5
+    bucket (first 8 hex digits mod 10_000) falls below fraction*10_000.
+
+    Unlike DataFrame.sample this is a pure function of (key, salt) — stable
+    across runs, partitionings, cluster sizes and engines (the DuckDB
+    oracle reproduces the exact row set), which is what a training-data
+    pipeline needs for audit-able held-out splits at 100 TB. JVM md5 +
+    conv, codegen, no shuffle."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "|"), F.col(key_col).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint") % 10_000
+    )
+    return df.filter(bucket < int(round(fraction * 10_000)))
+
+
 def simhash64(tokens: Column, term_hash: Column) -> Column:  # pragma: no cover
     """Placeholder marker — real SimHash lives in operators/dedup.py where the
     term-dictionary id assignment makes it oracle-comparable."""
