@@ -514,7 +514,7 @@ FROM documents
 WITH t AS (SELECT doc_id,
                   list_filter(regexp_extract_all(lower(text),
                               '\\w+|[^\\w\\s]+'),
-                              tk -> strpos('!"#$%&''()*+,-./:;<=>?@[\]^_`{{|}}~', tk) = 0) AS toks
+                              tk -> strpos('!"#$%&''()*+,-./:;<=>?@[\\]^_`{{|}}~', tk) = 0) AS toks
            FROM documents)
 SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
        CAST(len(list_distinct(toks)) AS INT) AS n_distinct

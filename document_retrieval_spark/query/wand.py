@@ -629,6 +629,7 @@ def wand_topk_docpart(
     max_pushdown_terms: int = 50_000,
     n_docs: int | None = None,
     term_dict: DataFrame | None = None,
+    avgdl: float | None = None,
 ) -> DataFrame:
     """DOC-PARTITIONED block-max WAND -> (query_id, rank, docid, score),
     rank-identical to `wand_topk` (tests assert exact equality).
@@ -647,7 +648,13 @@ def wand_topk_docpart(
     spanning segments ship to several tasks — so this layout is for LATENCY
     (one fat query on an idle cluster), not batch throughput. The reference
     has no single-query path at all (one full NumPy pass per query,
-    `bm25_ranking.ipynb cell 7`)."""
+    `bm25_ranking.ipynb cell 7`).
+
+    `avgdl`, like `n_docs` and `terms`, is a serving-layer floor cut, not
+    an override: a caller that already holds the collection stats passes
+    the scalar and saves the one-row driver job per query. It MUST equal
+    the index's avgdl (scripts/query.py guards user overrides; this
+    parameter is for pass-through of the true value)."""
     from ..operators.topk import topk_per_group
 
     extra = [c for c in coll.columns if c not in ("n_docs", "avgdl")]
@@ -659,7 +666,7 @@ def wand_topk_docpart(
         )
     touched = _touched_segments(
         query_terms, postings, coll, bm25, None, terms, max_pushdown_terms,
-        term_dict
+        term_dict, avgdl
     )
     spark = touched.sparkSession
     if n_buckets is None:

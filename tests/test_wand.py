@@ -154,6 +154,19 @@ def test_docpart_equals_per_query_wand(built, queries_df, queries_pdf):
               for r in wand_topk_docpart(qt, postings, docs_ord, coll, bm25,
                                          k=K, n_buckets=n_buckets).collect()}
         assert dp == base, n_buckets
+    # serving-layer scalar pass-throughs (avgdl/n_docs floor cuts) must not
+    # change a single bit of the result
+    avgdl = float(coll.select("avgdl").first()["avgdl"])
+    n_docs = docs_ord.count()
+    fast = {(r["query_id"], r["rank"], r["docid"], r["score"])
+            for r in wand_topk_docpart(qt, postings, docs_ord, coll, bm25,
+                                       k=K, n_docs=n_docs,
+                                       avgdl=avgdl).collect()}
+    assert fast == base
+    fast_pq = {(r["query_id"], r["rank"], r["docid"], r["score"])
+               for r in wand_topk(qt, postings, docs_ord, coll, bm25, k=K,
+                                  avgdl=avgdl).collect()}
+    assert fast_pq == base
 
 
 def test_wand_refuses_negative_idf(spark, built, queries_df):
