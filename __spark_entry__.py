@@ -141,6 +141,87 @@ SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
 """
 
 
+def _bm25_conj_sql() -> str:
+    """SQL twin of conjunctive (boolean-AND) BM25: a doc qualifies only when
+    it contains EVERY distinct query term, so q4's out-of-corpus term
+    empties that query. cand is one row per (query, doc, matched term) —
+    tf is unique per (doc, term) and qterms is distinct — so count(*) is
+    the matched-term count."""
+    core = _BM25_CORE.replace("{k1}", repr(K1)).replace("{b}", repr(B)).replace(
+        "{lnorm}", "1.0"
+    )
+    return f"""
+WITH {_TOKENS_CTE}, {core},
+nq AS (SELECT query_id, count(*) AS n_terms FROM qterms GROUP BY query_id),
+conj AS (SELECT query_id, doc_id, round(sum(term_score), 6) AS score,
+                count(*) AS matched
+         FROM cand GROUP BY query_id, doc_id),
+cranked AS (SELECT c.query_id, c.doc_id, c.score,
+                   CAST(row_number() OVER (PARTITION BY c.query_id
+                        ORDER BY c.score DESC, c.doc_id ASC) AS INT) AS rank
+            FROM conj c JOIN nq USING (query_id)
+            WHERE c.matched = nq.n_terms)
+SELECT query_id, rank, doc_id, score FROM cranked WHERE rank <= 10
+"""
+
+
+# simple-BM25F gate parameters: title = first 8 tokens, body = the rest
+BM25F_TITLE_LEN = 8
+BM25F_FIELDS = {"title": (2.0, 0.75), "body": (1.0, 0.75)}
+
+
+def _bm25f_sql() -> str:
+    """SQL twin of simple BM25F (Robertson/Zaragoza/Taylor CIKM'04) with a
+    synthetic title/body split: title = toks[1:8], body = toks[9:]. Weighted
+    per-field tf with per-field length norm is summed into tf~ (the two-term
+    float sum is order-independent), saturated ONCE; idf is doc-level. The
+    expression trees mirror the engine's bm25f_tf_tilde/bm25f_score
+    operator pair term for term."""
+    tl = BM25F_TITLE_LEN
+    (wt, bt), (wb, bb) = BM25F_FIELDS["title"], BM25F_FIELDS["body"]
+    return f"""
+WITH {_TOKENS_CTE},
+coll AS (SELECT count(*) AS n_docs FROM docs),
+fields AS (
+  SELECT doc_id, 'title' AS field, toks[1:{tl}] AS ftoks FROM docs
+  UNION ALL
+  SELECT doc_id, 'body' AS field, toks[{tl + 1}:] AS ftoks FROM docs),
+favg AS (SELECT field,
+                CAST(sum(len(ftoks)) AS DOUBLE)
+                / (SELECT n_docs FROM coll) AS avgdl
+         FROM fields GROUP BY field),
+ftok AS (SELECT doc_id, field, len(ftoks) AS fdl, unnest(ftoks) AS term
+         FROM fields),
+ftf AS (SELECT doc_id, field, term, any_value(fdl) AS fdl, count(*) AS tf
+        FROM ftok GROUP BY doc_id, field, term),
+tft AS (SELECT doc_id, term,
+               sum(CASE WHEN field = 'title' THEN {wt!r} ELSE {wb!r} END * tf
+                   / (CASE WHEN field = 'title'
+                           THEN {1.0 - bt!r} ELSE {1.0 - bb!r} END
+                      + CASE WHEN field = 'title' THEN {bt!r} ELSE {bb!r} END
+                        * CAST(fdl AS DOUBLE) / f.avgdl)) AS tf_tilde
+        FROM ftf JOIN favg f USING (field) GROUP BY doc_id, term),
+stats AS (SELECT term,
+                 ln(1 + (((SELECT n_docs FROM coll) - count(*) + 0.5)
+                         / (count(*) + 0.5))) AS idf
+          FROM tf GROUP BY term),
+qterms AS (SELECT query_id,
+                  unnest(list_distinct({TOK.format(col='qtext')})) AS term
+           FROM (VALUES {_QUERY_VALUES}) q(query_id, qtext)),
+cand AS (SELECT qt.query_id, t.doc_id,
+                s.idf * t.tf_tilde * {K1 + 1.0!r}
+                / ({K1!r} + t.tf_tilde) AS term_score
+         FROM tft t JOIN qterms qt USING (term) JOIN stats s USING (term)),
+scored AS (SELECT query_id, doc_id, round(sum(term_score), 6) AS score
+           FROM cand GROUP BY query_id, doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+           FROM scored)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+"""
+
+
 _SHINGLE_CTE = f"""
   docs AS (SELECT doc_id, {TOK.format(col='text')} AS toks FROM documents),
   sh AS (SELECT DISTINCT doc_id, shingle FROM (
@@ -275,6 +356,8 @@ FROM tf GROUP BY term
         # partitioned WAND — one oracle, two physical layouts
         "bm25_topk_docpart": _bm25_sql(K1, B, standard=False),
         "bm25_topk_standard": _bm25_sql(K1, B, standard=True),
+        "bm25_topk_conj": _bm25_conj_sql(),
+        "bm25f_topk": _bm25f_sql(),
         "bm25_topk_stemmed": _stemmed_bm25_sql(),
         "bm25_topk_lemma": _lemma_bm25_sql(),
         "bm25_topk_v3": _bm25_variant_sql(query_terms_dl=True),
@@ -720,6 +803,127 @@ def _q_bm25_topk_standard(spark, sf_dir):
     return _bm25_ranked(spark, sf_dir, standard=True).filter(
         F.col("rank") <= 10
     ).select("query_id", "rank", "doc_id", "score")
+
+
+def _q_bm25_topk_conj(spark, sf_dir):
+    """Conjunctive (boolean-AND) BM25 top-k: every distinct query term must
+    occur in the doc (Lucene BooleanQuery MUST; the reference scorer is
+    disjunctive-only, `bm25_ranking.ipynb cell 3:31-39`). The matched-term
+    count rides the SAME (query_id, doc_id) aggregation as the score sum;
+    the per-query required count joins via broadcast — no extra shuffle."""
+    from pyspark.sql import functions as F
+
+    from document_retrieval_spark.config import SQL_SAFE_PROFILE, BM25Config
+    from document_retrieval_spark.operators.topk import topk_per_group
+    from document_retrieval_spark.query.bm25 import prepare_query_terms
+
+    bm25 = BM25Config()
+    tf = _tf_table(spark, sf_dir)
+    docs = _tok_docs(spark, sf_dir)
+    agg = docs.agg(
+        F.count("*").alias("n"), F.sum(F.size("toks")).alias("s")
+    ).collect()[0]
+    avgdl = float(agg["s"]) / agg["n"]
+    stats = _term_stats(spark, sf_dir, rounded=False)
+    qt = prepare_query_terms(_query_df(spark), SQL_SAFE_PROFILE, bm25)
+    n_terms = qt.groupBy("query_id").agg(F.count("*").alias("n_terms"))
+    term_score = (
+        F.col("idf")
+        * F.col("tf").cast("double")
+        * F.lit(bm25.k1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(bm25.k1)
+            * (F.lit(1.0 - bm25.b) + F.col("dl").cast("double") / F.lit(avgdl))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(stats.select("term", "idf")), "term")
+        .withColumn("term_score", term_score)
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(F.sum("term_score"), 6).alias("score"),
+            F.count("*").alias("matched"),
+        )
+        .join(F.broadcast(n_terms), "query_id")
+        .filter(F.col("matched") == F.col("n_terms"))
+        .drop("matched", "n_terms")
+    )
+    return (
+        topk_per_group(scored, ["query_id"], "score", "doc_id", k=10**9)
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def _q_bm25f_topk(spark, sf_dir):
+    """Simple BM25F (Robertson/Zaragoza/Taylor CIKM'04) with a title/body
+    split (title = first 8 tokens): per-field weighted, length-normalized tf
+    summed into tf~ — a query-INDEPENDENT index-time artifact
+    (`bm25f_tf_tilde`) — then saturated once per term. The query path is
+    shape-identical to plain BM25: broadcast joins + one aggregation
+    shuffle. idf stays doc-level (shared with the plain stats table)."""
+    from pyspark.sql import functions as F
+
+    from document_retrieval_spark.config import SQL_SAFE_PROFILE, BM25Config
+    from document_retrieval_spark.operators.topk import topk_per_group
+    from document_retrieval_spark.query.bm25 import (
+        bm25f_tf_tilde,
+        prepare_query_terms,
+    )
+
+    bm25 = BM25Config()
+    tl = BM25F_TITLE_LEN
+    docs = _tok_docs(spark, sf_dir)
+    fields_df = docs.select(
+        "doc_id", F.lit("title").alias("field"),
+        F.slice("toks", 1, tl).alias("ftoks"),
+    ).unionByName(
+        docs.select(
+            "doc_id", F.lit("body").alias("field"),
+            F.expr(
+                f"slice(toks, {tl + 1}, greatest(size(toks) - {tl}, 0))"
+            ).alias("ftoks"),
+        )
+    )
+    n_docs = docs.count()
+    sums = {
+        r["field"]: r["s"]
+        for r in fields_df.groupBy("field")
+        .agg(F.sum(F.size("ftoks")).alias("s"))
+        .collect()
+    }
+    favg = {f: sums[f] / n_docs for f in BM25F_FIELDS}
+    field_tf = (
+        fields_df.select(
+            "doc_id", "field", F.size("ftoks").alias("fdl"),
+            F.explode("ftoks").alias("term"),
+        )
+        .groupBy("doc_id", "field", "term")
+        .agg(F.any_value("fdl").alias("fdl"), F.count("*").alias("tf"))
+    )
+    tft = bm25f_tf_tilde(field_tf, BM25F_FIELDS, favg, docid_col="doc_id")
+    stats = _term_stats(spark, sf_dir, rounded=False)
+    qt = prepare_query_terms(_query_df(spark), SQL_SAFE_PROFILE, bm25)
+    term_score = (
+        F.col("idf")
+        * F.col("tf_tilde")
+        * F.lit(bm25.k1 + 1.0)
+        / (F.lit(bm25.k1) + F.col("tf_tilde"))
+    )
+    scored = (
+        tft.join(F.broadcast(qt), "term")
+        .join(F.broadcast(stats.select("term", "idf")), "term")
+        .withColumn("term_score", term_score)
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+    )
+    return (
+        topk_per_group(scored, ["query_id"], "score", "doc_id", k=10**9)
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "doc_id", "score")
+    )
 
 
 def _q_bm25_per_lang_topk(spark, sf_dir):
@@ -1440,6 +1644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_docpart": _q_bm25_topk_docpart,
         "bm25_topk_standard": _q_bm25_topk_standard,
+        "bm25_topk_conj": _q_bm25_topk_conj,
+        "bm25f_topk": _q_bm25f_topk,
         "bm25_topk_stemmed": _q_bm25_topk_stemmed,
         "bm25_topk_lemma": _q_bm25_topk_lemma,
         "bm25_topk_v3": _q_bm25_topk_v3,

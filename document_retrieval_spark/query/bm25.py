@@ -73,6 +73,7 @@ def bm25_score_exhaustive(
     bm25: BM25Config,
     k: int = 10,
     lang_col: str | None = None,
+    conjunctive: bool = False,
 ) -> DataFrame:
     """-> (query_id, rank, docid, score) top-k per query.
 
@@ -82,7 +83,17 @@ def bm25_score_exhaustive(
     window sum over the already-joined (query_id, docid) group, no extra
     join. Variant 5's "idf inside the numerator"
     (`text_preprocessing_and_stopwords_setup.py:185-187`) is algebraically
-    identical to idf * quotient, so it needs no separate form."""
+    identical to idf * quotient, so it needs no separate form.
+
+    `conjunctive=True` gives boolean-AND semantics (Lucene BooleanQuery
+    MUST): a doc qualifies only when EVERY query term occurs in it, so a
+    query with an out-of-corpus term returns no rows. The reference engine
+    is disjunctive-only (`bm25_ranking.ipynb cell 3:31-39` skips missing
+    terms); this is the standard fulltext extension, not a port. Scale: the
+    matched-term count rides the SAME (query_id, docid) aggregation shuffle
+    as the score sum (tf is unique per (doc, term) and query terms are
+    distinct, so count(*) == matched terms), and the required-count side is
+    a per-query scalar joined via broadcast — zero extra shuffles."""
     join_keys = ["term"] + ([lang_col] if lang_col else [])
     stats_cols = join_keys + ["idf", "avgdl"]
     candidates = (
@@ -95,11 +106,105 @@ def bm25_score_exhaustive(
 
         w = Window.partitionBy("query_id", "docid")
         candidates = candidates.withColumn("dl", F.sum("tf").over(w))
+    aggs = [F.sum("term_score").alias("score")]
+    if conjunctive:
+        aggs.append(F.count("*").alias("matched"))
     scored = (
         candidates.withColumn("term_score", bm25_term_score(bm25))
         .groupBy("query_id", "docid")
-        .agg(F.sum("term_score").alias("score"))
+        .agg(*aggs)
     )
+    if conjunctive:
+        n_terms = query_terms.groupBy("query_id").agg(
+            F.count("*").alias("n_terms")
+        )
+        scored = (
+            scored.join(F.broadcast(n_terms), "query_id")
+            .filter(F.col("matched") == F.col("n_terms"))
+            .drop("matched", "n_terms")
+        )
     return topk_per_group(scored, ["query_id"], "score", "docid", k).select(
         "query_id", "rank", "docid", "score"
+    )
+
+
+def bm25f_tf_tilde(
+    field_tf: DataFrame,
+    fields: dict[str, tuple[float, float]],
+    field_avgdl: dict[str, float],
+    docid_col: str = "docid",
+) -> DataFrame:
+    """Simple-BM25F weighted term frequency — an INDEX-TIME artifact.
+
+    field_tf(docid, field, term, tf, fdl) -> (docid, term, tf_tilde) with
+
+        tf~(d, t) = sum_f  w_f * tf_f / (1 - b_f + b_f * fdl_f / avgdl_f)
+
+    (Robertson, Zaragoza & Taylor, CIKM'04 "Simple BM25 extension to
+    multiple weighted fields": per-field length normalization is applied
+    INSIDE the field sum, and saturation is applied once to the combined
+    tf~ — NOT per field, which would break the eliteness model.)
+
+    `fields` maps field name -> (weight w_f, length-norm b_f);
+    `field_avgdl` maps field name -> avgdl_f computed over ALL docs
+    (docs where the field is empty contribute length 0 to the mean).
+
+    Scale: tf~ is query-independent, so it belongs with the index build —
+    one groupBy(docid, term) over the per-field tf rows (at most
+    |fields| rows per (doc, term), partial aggs apply). The query path
+    over the result is then shape-identical to plain BM25: broadcast
+    query join + ONE (query_id, docid) aggregation shuffle. The field
+    parameter lookup is a chained CASE on a ≤dozen-entry set, fully
+    inside whole-stage codegen."""
+    w_col = F.lit(None).cast("double")
+    norm = F.lit(None).cast("double")
+    for name, (w, b) in fields.items():
+        avg = field_avgdl[name]
+        is_f = F.col("field") == name
+        w_col = F.when(is_f, F.lit(float(w))).otherwise(w_col)
+        norm = F.when(
+            is_f,
+            F.lit(1.0 - b) + F.lit(float(b)) * F.col("fdl").cast("double")
+            / F.lit(float(avg)),
+        ).otherwise(norm)
+    tfw = w_col * F.col("tf").cast("double") / norm
+    return (
+        field_tf.withColumn("tfw", tfw)
+        .groupBy(docid_col, "term")
+        .agg(F.sum("tfw").alias("tf_tilde"))
+    )
+
+
+def bm25f_score(
+    query_terms: DataFrame,
+    tf_tilde: DataFrame,
+    term_stats: DataFrame,
+    bm25: BM25Config,
+    k: int = 10,
+    docid_col: str = "docid",
+) -> DataFrame:
+    """-> (query_id, rank, docid, score): simple-BM25F top-k over the
+    index-time tf~ artifact from `bm25f_tf_tilde`.
+
+        score(q, d) = sum_{t in q}  idf_t * (k1 + 1) * tf~ / (k1 + tf~)
+
+    idf is the DOC-level idf (df = docs where t occurs in ANY field) — pass
+    the same term_stats as plain BM25. The (k1+1) numerator matches this
+    engine's other BM25 variants (a per-query constant factor;
+    rank-equivalent to the CIKM'04 form without it). Length normalization
+    already happened inside tf~, so no dl join is needed here at all: the
+    plan is broadcast-join + one aggregation shuffle."""
+    tft = F.col("tf_tilde")
+    term_score = (
+        F.col("idf") * tft * F.lit(bm25.k1 + 1.0) / (F.lit(bm25.k1) + tft)
+    )
+    scored = (
+        tf_tilde.join(F.broadcast(query_terms), "term")
+        .join(F.broadcast(term_stats.select("term", "idf")), "term")
+        .withColumn("term_score", term_score)
+        .groupBy("query_id", docid_col)
+        .agg(F.sum("term_score").alias("score"))
+    )
+    return topk_per_group(scored, ["query_id"], "score", docid_col, k).select(
+        "query_id", "rank", docid_col, "score"
     )
