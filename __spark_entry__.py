@@ -169,6 +169,60 @@ SELECT query_id, rank, doc_id, score FROM cranked WHERE rank <= 10
 BM25F_TITLE_LEN = 8
 BM25F_FIELDS = {"title": (2.0, 0.75), "body": (1.0, 0.75)}
 
+# exact-phrase query set: p1/p3 common bigrams, p2 a rare trigram, p4 an
+# OOV term (conjunctive candidate stage empties it), p5 terms that all
+# exist but whose adjacency the data decides
+PHRASES: list[tuple[str, str]] = [
+    ("p1", "table hash"),
+    ("p2", "slow hash batch"),
+    ("p3", "customer join"),
+    ("p4", "hash zzzunknown"),
+    ("p5", "merge big order"),
+]
+_PHRASE_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in PHRASES)
+
+
+def _phrase_sql() -> str:
+    """SQL twin of exact-phrase top-k: conjunctive BM25 candidates (every
+    distinct phrase term present — the same formula as bm25_topk_conj),
+    then a consecutive-slice adjacency verify on the candidate docs only.
+    toks[i : i + len(p) - 1] is DuckDB's 1-based inclusive slice — equal to
+    the phrase list iff the phrase starts at i."""
+    return f"""
+WITH {_TOKENS_CTE},
+coll AS (SELECT count(*) AS n_docs,
+                CAST(sum(len(toks)) AS DOUBLE)/count(*) AS avgdl FROM docs),
+stats AS (SELECT term,
+                 ln(1 + (((SELECT n_docs FROM coll) - count(*) + 0.5)
+                         / (count(*) + 0.5))) AS idf
+          FROM tf GROUP BY term),
+phr AS (SELECT query_id, {TOK.format(col='qtext')} AS ptoks
+        FROM (VALUES {_PHRASE_VALUES}) q(query_id, qtext)),
+qterms AS (SELECT query_id, unnest(list_distinct(ptoks)) AS term FROM phr),
+nq AS (SELECT query_id, count(*) AS n_terms FROM qterms GROUP BY query_id),
+cand AS (SELECT qt.query_id, tf.doc_id,
+                s.idf * tf.tf * ({K1!r} + 1.0)
+                / (tf.tf + {K1!r} * (1.0 - {B!r} + 1.0 * tf.dl
+                                     / (SELECT avgdl FROM coll))) AS term_score
+         FROM tf JOIN qterms qt USING (term) JOIN stats s USING (term)),
+conj AS (SELECT query_id, doc_id, round(sum(term_score), 6) AS score,
+                count(*) AS matched
+         FROM cand GROUP BY query_id, doc_id),
+allt AS (SELECT c.query_id, c.doc_id, c.score
+         FROM conj c JOIN nq USING (query_id) WHERE c.matched = nq.n_terms),
+ver AS (SELECT a.query_id, a.doc_id, a.score
+        FROM allt a JOIN docs d ON d.doc_id = a.doc_id
+                    JOIN phr p ON p.query_id = a.query_id
+        WHERE len(p.ptoks) > 0 AND len(d.toks) >= len(p.ptoks)
+          AND len(list_filter(range(1, len(d.toks) - len(p.ptoks) + 2),
+                     i -> d.toks[i : i + len(p.ptoks) - 1] = p.ptoks)) > 0),
+ranked AS (SELECT query_id, doc_id, score,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+           FROM ver)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+"""
+
 
 def _bm25f_sql() -> str:
     """SQL twin of simple BM25F (Robertson/Zaragoza/Taylor CIKM'04) with a
@@ -358,6 +412,7 @@ FROM tf GROUP BY term
         "bm25_topk_standard": _bm25_sql(K1, B, standard=True),
         "bm25_topk_conj": _bm25_conj_sql(),
         "bm25f_topk": _bm25f_sql(),
+        "phrase_topk": _phrase_sql(),
         "bm25_topk_stemmed": _stemmed_bm25_sql(),
         "bm25_topk_lemma": _lemma_bm25_sql(),
         "bm25_topk_v3": _bm25_variant_sql(query_terms_dl=True),
@@ -852,6 +907,74 @@ def _q_bm25_topk_conj(spark, sf_dir):
     )
     return (
         topk_per_group(scored, ["query_id"], "score", "doc_id", k=10**9)
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def _q_phrase_topk(spark, sf_dir):
+    """Exact-phrase BM25 top-k (`query/phrase.py`): conjunctive candidates
+    from the inverted tf table — no token array is touched for a doc
+    missing any phrase term — then consecutive-slice adjacency verified
+    with JVM higher-order functions on the candidate set only. Scores are
+    the plain BM25 scores of the phrase's distinct terms (phrase = filter,
+    Lucene PhraseQuery-with-BM25 semantics)."""
+    from pyspark.sql import functions as F
+
+    from document_retrieval_spark.config import SQL_SAFE_PROFILE, BM25Config
+    from document_retrieval_spark.operators.topk import topk_per_group
+    from document_retrieval_spark.query.phrase import (
+        phrase_match_expr,
+        prepare_query_phrases,
+    )
+
+    bm25 = BM25Config()
+    tf = _tf_table(spark, sf_dir)
+    docs = _tok_docs(spark, sf_dir)
+    agg = docs.agg(
+        F.count("*").alias("n"), F.sum(F.size("toks")).alias("s")
+    ).collect()[0]
+    avgdl = float(agg["s"]) / agg["n"]
+    stats = _term_stats(spark, sf_dir, rounded=False)
+    qp = prepare_query_phrases(
+        spark.createDataFrame(PHRASES, ["query_id", "query"]),
+        SQL_SAFE_PROFILE,
+    )
+    qt = qp.select(
+        "query_id", F.explode(F.array_distinct("ptoks")).alias("term")
+    )
+    n_terms = qt.groupBy("query_id").agg(F.count("*").alias("n_terms"))
+    term_score = (
+        F.col("idf")
+        * F.col("tf").cast("double")
+        * F.lit(bm25.k1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(bm25.k1)
+            * (F.lit(1.0 - bm25.b) + F.col("dl").cast("double") / F.lit(avgdl))
+        )
+    )
+    conj = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(stats.select("term", "idf")), "term")
+        .withColumn("term_score", term_score)
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(F.sum("term_score"), 6).alias("score"),
+            F.count("*").alias("matched"),
+        )
+        .join(F.broadcast(n_terms), "query_id")
+        .filter(F.col("matched") == F.col("n_terms"))
+        .drop("matched", "n_terms")
+    )
+    verified = (
+        conj.join(docs.select("doc_id", "toks"), "doc_id")
+        .join(F.broadcast(qp), "query_id")
+        .filter(phrase_match_expr("toks", "ptoks"))
+        .select("query_id", "doc_id", "score")
+    )
+    return (
+        topk_per_group(verified, ["query_id"], "score", "doc_id", k=10**9)
         .filter(F.col("rank") <= 10)
         .select("query_id", "rank", "doc_id", "score")
     )
@@ -1646,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_standard": _q_bm25_topk_standard,
         "bm25_topk_conj": _q_bm25_topk_conj,
         "bm25f_topk": _q_bm25f_topk,
+        "phrase_topk": _q_phrase_topk,
         "bm25_topk_stemmed": _q_bm25_topk_stemmed,
         "bm25_topk_lemma": _q_bm25_topk_lemma,
         "bm25_topk_v3": _q_bm25_topk_v3,
