@@ -64,6 +64,16 @@ def main(argv=None) -> int:
                          "auto (default) picks by the manifest's BM25 "
                          "variant, batch size and corpus size "
                          "(query/plan.py choose_scorer)")
+    ap.add_argument("--phrase", action="store_true",
+                    help="exact-phrase retrieval: each query must occur as "
+                         "a CONSECUTIVE token run. Candidates come from the "
+                         "index's staged tf table (conjunctive prune + BM25 "
+                         "score in one pass); adjacency is verified against "
+                         "--transcripts for candidate docs only "
+                         "(query/phrase.py)")
+    ap.add_argument("--transcripts", default=None,
+                    help="transcripts table for --phrase adjacency "
+                         "verification (the corpus the index was built from)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -123,10 +133,38 @@ def main(argv=None) -> int:
             lang_col=args.lang_col,
         )
         print(f"--scorer auto -> {args.scorer}")
-    qt = prepare_query_terms(
-        queries, REFERENCE_PROFILE, bm25, lang_col=args.lang_col
-    )
-    if args.scorer == "exhaustive":
+    if args.phrase:
+        from document_retrieval_spark.operators import assemble_documents
+        from document_retrieval_spark.operators.stats import tokenize_documents
+        from document_retrieval_spark.query.phrase import (
+            phrase_topk,
+            prepare_query_phrases,
+        )
+
+        if args.lang_col:
+            ap.error("--phrase does not compose with --lang-col yet")
+        if idx.tf is None:
+            ap.error("--phrase candidates come from the staged tf/ table, "
+                     "which this index lacks")
+        if not args.transcripts:
+            ap.error("--phrase requires --transcripts (the corpus to verify "
+                     "adjacency against)")
+        tok_docs = tokenize_documents(
+            assemble_documents(spark.read.parquet(args.transcripts)),
+            REFERENCE_PROFILE,
+        )
+        qp = prepare_query_phrases(queries, REFERENCE_PROFILE)
+        topk = phrase_topk(
+            qp, idx.tf.select("term", "docid", "tf"), idx.term_stats,
+            tok_docs, bm25, k=args.k,
+        )
+    else:
+        qt = prepare_query_terms(
+            queries, REFERENCE_PROFILE, bm25, lang_col=args.lang_col
+        )
+    if args.phrase:
+        pass  # topk built above; shared write/submission path below
+    elif args.scorer == "exhaustive":
         from document_retrieval_spark.query.bm25 import bm25_score_exhaustive
 
         if idx.tf is None:

@@ -64,3 +64,57 @@ def test_query_explicit_docpart(built_index, tmp_path):
     a = pd.read_parquet(outp).sort_values("rank").reset_index(drop=True)
     b = pd.read_parquet(outw).sort_values("rank").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)  # layouts are rank/score-identical
+
+
+def test_query_phrase_end_to_end(tmp_path):
+    """--phrase through the spark-submit surface: build from a transcripts
+    parquet, query a phrase KNOWN to occur (first bigram of the first doc),
+    check every hit against a pure-Python adjacency scan, and check an OOV
+    phrase returns an empty (but well-formed) result."""
+    from document_retrieval_spark.config import REFERENCE_PROFILE
+    from document_retrieval_spark.fixtures import gen_transcripts
+    from document_retrieval_spark.oracle import oracle_tokenize
+
+    tr = gen_transcripts(120, seed=11)
+    trp = str(tmp_path / "tr.parquet")
+    # Spark can't scan NANOS parquet timestamps — write micros
+    tr.to_parquet(trp, index=False, coerce_timestamps="us",
+                  allow_truncated_timestamps=True)
+    idx = str(tmp_path / "idx")
+    r = _run(["scripts/build_index.py", "--transcripts", trp, "--out", idx,
+              "--shards", "4", "--groups", "1", "--master", "local[4]"])
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    by = tr.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    doc_toks = {
+        d: oracle_tokenize(t, REFERENCE_PROFILE)
+        for d, t in by.groupby("conv_id", sort=True)["text"].agg(" ".join).items()
+    }
+    first = doc_toks[min(doc_toks)]
+    phrase = f"{first[0]} {first[1]}"
+    ptoks = oracle_tokenize(phrase, REFERENCE_PROFILE)
+    want = {
+        d for d, toks in doc_toks.items()
+        if any(toks[i:i + len(ptoks)] == ptoks
+               for i in range(len(toks) - len(ptoks) + 1))
+    }
+    assert want  # the phrase occurs by construction
+
+    qp = str(tmp_path / "phrases.parquet")
+    pd.DataFrame(
+        {"query_id": ["p1", "p2"], "query": [phrase, "zzzoov nothere"]}
+    ).to_parquet(qp, index=False)
+    outp = str(tmp_path / "res_phrase.parquet")
+    r = _run(["scripts/query.py", "--index", idx, "--queries", qp,
+              "--out", outp, "--k", "1000", "--phrase",
+              "--transcripts", trp, "--master", "local[4]"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = pd.read_parquet(outp)
+    assert set(res.columns) == {"query_id", "rank", "docid", "score"}
+    assert set(res[res.query_id == "p1"]["docid"]) == want
+    assert len(res[res.query_id == "p2"]) == 0
+
+    # guard: --phrase without --transcripts refuses loudly
+    r = _run(["scripts/query.py", "--index", idx, "--queries", qp,
+              "--out", outp, "--phrase", "--master", "local[4]"])
+    assert r.returncode != 0 and "--transcripts" in r.stderr
