@@ -60,7 +60,9 @@ def main(argv=None) -> int:
     from document_retrieval_spark.index import IndexBuilder
     from document_retrieval_spark.session import get_spark
 
-    spark = get_spark("build_index", master=args.master)
+    # one-shot CLI: a single invocation cannot amortize the session
+    # warm-start pass (long-lived serving sessions keep the default)
+    spark = get_spark(warmup=False, app_name="build_index", master=args.master)
     if args.synthesize:
         from document_retrieval_spark.fixtures import gen_transcripts, transcripts_schema
 

@@ -85,7 +85,9 @@ def main(argv=None) -> int:
     from document_retrieval_spark.query.wand import wand_topk, wand_topk_docpart
     from document_retrieval_spark.session import get_spark
 
-    spark = get_spark("query", master=args.master)
+    # one-shot CLI: a single invocation cannot amortize the session
+    # warm-start pass (long-lived serving sessions keep the default)
+    spark = get_spark(warmup=False, app_name="query", master=args.master)
     idx = load_index(spark, args.index)
     # score with the variant the index was built with (its idf/quotients
     # are baked into stats/postings); --length-norm overrides explicitly

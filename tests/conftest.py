@@ -1,7 +1,13 @@
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pytest
+
+# unit tests assert semantics, not steady-state latency: skip the session
+# warm-start pass (and keep CLI subprocesses spawned by tests fast too)
+os.environ.setdefault("SPARK_GRAFT_WARMUP", "0")
 
 from document_retrieval_spark.config import REFERENCE_PROFILE, BM25Config
 from document_retrieval_spark.fixtures import gen_queries, gen_transcripts
