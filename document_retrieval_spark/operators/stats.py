@@ -46,12 +46,26 @@ def tokenize_documents(
     return docs.withColumn("tokens", tok).withColumn("dl", F.size("tokens"))
 
 
-def term_frequencies(tok_docs: DataFrame, lang_col: str | None = None) -> DataFrame:
-    """A1: (docid[, lang], term, tf)."""
+def term_frequencies(
+    tok_docs: DataFrame,
+    lang_col: str | None = None,
+    doc_clustered: bool = True,
+) -> DataFrame:
+    """A1: (docid[, lang], term, tf).
+
+    doc_clustered=True (default) keys the one exchange on docid ALONE (see
+    term_frequencies_from_turns for the full rationale): the tf table comes
+    out hash-partitioned by document, so every downstream per-doc
+    aggregation — dl, doc norms, the per-(query, doc) score accumulations
+    of the exhaustive/cosine scorers — satisfies its required distribution
+    from the persisted layout and drops its own corpus-sized exchange.
+    """
     keys = ["docid"] + ([lang_col] if lang_col else [])
+    exploded = tok_docs.select(*keys, F.explode("tokens").alias("term"))
+    if doc_clustered:
+        exploded = exploded.repartition("docid")
     return (
-        tok_docs.select(*keys, F.explode("tokens").alias("term"))
-        .groupBy(*keys, "term")
+        exploded.groupBy(*keys, "term")
         .agg(F.count("*").alias("tf"))
     )
 
@@ -127,6 +141,7 @@ def term_frequencies_from_turns(
     lang_col: str | None = None,
     term_dict: DataFrame | None = None,
     conv_map: DataFrame | None = None,
+    doc_clustered: bool = True,
 ) -> DataFrame:
     """A1 computed TURN-LOCALLY: (docid[, lang], term, tf) with ONE shuffle.
 
@@ -145,6 +160,23 @@ def term_frequencies_from_turns(
     path (raises to prevent silent semantic drift). Turn order is irrelevant
     here because tf is order-free; dl = sum(tf) per doc (SURVEY A5, variant-1
     dl definition).
+
+    doc_clustered=True (default) keys that one exchange on the DOC key
+    alone (repartition before the group-by) instead of letting the
+    aggregation hash on (doc, term). Trade, measured at sf0.1 (r6):
+    short-turn transcripts collapse only ~2x under the map-side partial agg
+    (2.93M exploded tokens -> 1.47M tf rows), so keying the exchange on the
+    doc key and aggregating entirely reduce-side moves similar bytes through
+    the same single shuffle — but the tf table comes out hash-partitioned
+    by document, which (a) removes the corpus-sized mid-plan exchange from
+    EVERY downstream per-doc aggregation (dl derivation, doc_norms, the
+    (query_id, doc) score accumulation of the exhaustive and cosine
+    scorers: 146 MB and 131 MB exchanges at sf0.1 fell to the ~1 MB
+    post-agg window exchange), and (b) co-partitions tf with the doc-keyed
+    ordinal/dl join of the posting path, so at scale that join no longer
+    reshuffles the tf table. doc_clustered=False restores the
+    (doc, term)-keyed aggregation exchange for corpora whose documents are
+    long enough that map-side collapse outweighs the layout benefit.
     """
     if cfg.bigrams:
         raise ValueError(
@@ -201,10 +233,16 @@ def term_frequencies_from_turns(
                 )).cast("long"),
             ).otherwise(F.col("term_id")),
         )
+        if doc_clustered:
+            # after the dict join: the doc-keyed exchange then carries
+            # (doc, term_id) longs, not term strings
+            exploded = exploded.repartition(key_names[0])
         return (
             exploded.groupBy(*key_names, "term_id")
             .agg(F.count("*").alias("tf"))
         )
+    if doc_clustered:
+        exploded = exploded.repartition(key_names[0])
     return (
         exploded.groupBy(*key_names, "term")
         .agg(F.count("*").alias("tf"))
