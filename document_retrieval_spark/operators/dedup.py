@@ -211,6 +211,49 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
+def lsh_bands_wide(
+    ids: DataFrame, n_hashes: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """(doc_id, sid) -> (doc_id, band, band_key), equal row-for-row to
+    ``lsh_bands(minhash_signatures(...))`` but in ONE aggregation.
+
+    The long-form path explodes every (doc, sid) row n_hashes-fold, shuffles
+    the blow-up into a (doc, r) min-agg, then shuffles AGAIN to collect each
+    band's minima into band_key. Here the n_hashes minima are n_hashes MIN
+    aggregate expressions over the original rows — map-side partials
+    collapse to one row per doc before the single shuffle — and band keys
+    are plain string concats of the wide columns, unpivoted with stack()
+    (codegen, no shuffle). Hash values and band-key strings are identical
+    integer arithmetic, so LSH buckets — and every downstream gate hash —
+    are unchanged (the long-form operators remain the gate-facing API)."""
+    mins = ids.groupBy("doc_id").agg(*[
+        F.min(
+            (
+                F.lit(a).cast("bigint") * F.col("sid").cast("bigint")
+                + F.lit(b).cast("bigint")
+            )
+            % F.lit(MERSENNE61)
+        ).alias(f"_m{r}")
+        for r, (a, b) in ((r, hash_params(r)) for r in range(n_hashes))
+    ])
+    n_bands = -(-n_hashes // rows_per_band)
+    band_keys = [
+        F.concat_ws(",", *[
+            F.col(f"_m{r}").cast("string")
+            for r in range(b * rows_per_band,
+                           min((b + 1) * rows_per_band, n_hashes))
+        ])
+        for b in range(n_bands)
+    ]
+    stack_args = ", ".join(f"{b}, _bk{b}" for b in range(n_bands))
+    return mins.select(
+        "doc_id", *[bk.alias(f"_bk{b}") for b, bk in enumerate(band_keys)]
+    ).select(
+        "doc_id",
+        F.expr(f"stack({n_bands}, {stack_args}) as (band, band_key)"),
+    )
+
+
 def minhash_near_dupes(
     docs: DataFrame,
     k: int = 3,
@@ -226,20 +269,43 @@ def minhash_near_dupes(
     join's two sides and the size table); without materialization Catalyst
     re-tokenizes and re-shingles the corpus once per consumer (measured: 19
     parquet scans, 0 reused exchanges in one plan). `cache=True` materializes
-    the shingle and candidate stages via eager localCheckpoint — unlike
-    persist(), whose CacheManager entry pins the blocks until an explicit
-    unpersist (repeated dedup runs in a long session accumulate cached
-    partitions), checkpoint blocks are reclaimed by the ContextCleaner when
-    the frames become unreachable. At corpus scale these stages would be
-    staged to parquet between jobs (the IndexBuilder pattern)."""
+    the shingle stage via eager localCheckpoint — unlike persist(), whose
+    CacheManager entry pins the blocks until an explicit unpersist (repeated
+    dedup runs in a long session accumulate cached partitions), checkpoint
+    blocks are reclaimed by the ContextCleaner when the frames become
+    unreachable. At corpus scale these stages would be staged to parquet
+    between jobs (the IndexBuilder pattern).
+
+    Scan spread (input skew): a small corpus arriving as one parquet file
+    with one row group caps the shingle/tokenize map stage at ONE real task
+    regardless of how many byte-range splits the scan plans (empty splits
+    read no row group — measured: 1 straggler doing 100% of the shingling
+    next to 16 empty tasks). When the optimizer's size estimate says the
+    whole input is smaller than ~a split per core, spreading it first is
+    one cheap small shuffle; at scale the estimate exceeds the threshold
+    and no extra shuffle happens."""
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        est_bytes = int(str(
+            docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        ))
+    except Exception:  # noqa: BLE001 — stats are advisory; never fail dedup
+        est_bytes = None
+    if est_bytes is not None and est_bytes < par * 64 * 1024 * 1024:
+        docs = docs.repartition(par)
     sh = shingles(docs, k=k)
     if cache:
         sh = sh.localCheckpoint(eager=True)
     dictionary = shingle_dictionary(sh)
-    sig = minhash_signatures(sh, dictionary, n_hashes=n_hashes)
-    cand = lsh_candidate_pairs(lsh_bands(sig, rows_per_band))
-    if cache:
-        cand = cand.localCheckpoint(eager=True)
+    ids = sh.join(dictionary, "shingle").select("doc_id", "sid")
+    cand = lsh_candidate_pairs(
+        lsh_bands_wide(ids, n_hashes=n_hashes, rows_per_band=rows_per_band)
+    )
+    # cand has exactly one consumer (the verify join) — checkpointing it
+    # would materialize the candidate stage once only to read it back once
+    # (a whole extra job of fixed floor, measured r6); the shared SHINGLE
+    # stage above is the one that needs the barrier.
     return jaccard_pairs(sh, cand).filter(F.col("jaccard") >= threshold)
 
 

@@ -59,7 +59,19 @@ def _warmup_session(spark: SparkSession) -> None:
         tr_pdf = gen_transcripts(150, seed=3)
         q_pdf = gen_queries(tr_pdf, 8, seed=4)
         n_docs = int(tr_pdf["conv_id"].nunique())
-        tr = spark.createDataFrame(tr_pdf[["conv_id", "text"]])
+        # The warm corpus is read back FROM PARQUET, like every real input:
+        # whole-stage-codegen sources embed the scan operator, so a stage
+        # warmed over a local relation leaves the parquet-scan variant of
+        # the same pipeline cold (its first task still pays the multi-second
+        # Janino compile — measured on the dedup shingle stage, r6).
+        import shutil
+        import tempfile
+
+        wdir = tempfile.mkdtemp(prefix="spark_graft_warmup_")
+        tr_pdf.to_parquet(os.path.join(wdir, "tr.parquet"),
+                          coerce_timestamps="us",
+                          allow_truncated_timestamps=True)
+        tr = spark.read.parquet(os.path.join(wdir, "tr.parquet"))
         queries = spark.createDataFrame(q_pdf[["query_id", "query"]])
 
         tf = term_frequencies_from_turns(tr, REFERENCE_PROFILE).persist()
@@ -91,22 +103,38 @@ def _warmup_session(spark: SparkSession) -> None:
         dn = doc_norms(tf, stats)
         cosine_topk(qt, tf, stats, k=5, doc_norm=dn).count()
 
-        docs_pdf = (
-            tr_pdf.groupby("conv_id", as_index=False)
-            .agg(text=("text", " ".join))
-            .rename(columns={"conv_id": "doc_id"})
-        )
-        docs = spark.createDataFrame(docs_pdf[["doc_id", "text"]])
-        minhash_near_dupes(docs, k=3, n_hashes=8, rows_per_band=4,
+        # documents/embeddings mirrors of the gate tables' parquet schemas
+        # (doc_id int64 / text / lang / source / n_chars; vec_id int64 /
+        # list<float> / label int32) so the curation-op scan stages warm
+        # with the same generated sources the real queries compile
+        import numpy as np
+        import pandas as pd
+
+        dg = tr_pdf.groupby("conv_id")["text"].agg(" ".join)
+        docs_pdf = pd.DataFrame({
+            "doc_id": np.arange(len(dg), dtype=np.int64),
+            "text": dg.to_numpy(),
+            "lang": "en",
+            "source": "warmup",
+            "n_chars": dg.str.len().to_numpy(np.int64),
+        })
+        docs_pdf.to_parquet(os.path.join(wdir, "docs.parquet"))
+        docs = spark.read.parquet(os.path.join(wdir, "docs.parquet"))
+        minhash_near_dupes(docs, k=3, n_hashes=16, rows_per_band=4,
                            threshold=0.2).count()
         add_quality_columns(docs).agg(F.sum("n_tokens")).collect()
 
-        import numpy as np
-
         rng = np.random.default_rng(5)
-        emb_pdf = [(int(i), [float(x) for x in rng.standard_normal(16)])
-                   for i in range(48)]
-        vecs = spark.createDataFrame(emb_pdf, "vec_id long, embedding array<double>")
+        emb_pdf = pd.DataFrame({
+            "vec_id": np.arange(48, dtype=np.int64),
+            "embedding": [rng.standard_normal(16).astype(np.float32)
+                          for _ in range(48)],
+            "label": np.zeros(48, dtype=np.int32),
+        })
+        emb_pdf.to_parquet(os.path.join(wdir, "emb.parquet"))
+        vecs = spark.read.parquet(os.path.join(wdir, "emb.parquet")).select(
+            "vec_id", "embedding"
+        )
         probes = vecs.filter(F.col("vec_id") < 2).select(
             F.col("vec_id").alias("probe_id"), "embedding"
         )
@@ -114,6 +142,7 @@ def _warmup_session(spark: SparkSession) -> None:
 
         for df in (tf, dls, docs_ord, coll, stats, postings):
             df.unpersist()
+        shutil.rmtree(wdir, ignore_errors=True)
     except Exception:  # noqa: BLE001 — warm-up is best-effort by contract
         pass
 
