@@ -94,6 +94,37 @@ def bm25_score_exhaustive(
     as the score sum (tf is unique per (doc, term) and query terms are
     distinct, so count(*) == matched terms), and the required-count side is
     a per-query scalar joined via broadcast — zero extra shuffles."""
+    scored = bm25_scored_candidates(
+        query_terms, tf, term_stats, doc_stats, bm25,
+        lang_col=lang_col, conjunctive=conjunctive,
+    )
+    return topk_per_group(scored, ["query_id"], "score", "docid", k).select(
+        "query_id", "rank", "docid", "score"
+    )
+
+
+def bm25_scored_candidates(
+    query_terms: DataFrame,
+    tf: DataFrame,
+    term_stats: DataFrame,
+    doc_stats: DataFrame,
+    bm25: BM25Config,
+    lang_col: str | None = None,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """The pre-top-k stage of `bm25_score_exhaustive`: every candidate
+    (query_id, docid, score), unranked. Callers that re-rank downstream
+    (the phrase verify) consume this directly — ranking all candidates only
+    to drop the rank forced a full per-query window sort."""
+    if conjunctive and lang_col:
+        # candidates join on (term, lang) but n_terms counts query_terms
+        # rows across ALL languages, so matched == n_terms is unsatisfiable
+        # for multi-language queries and results silently empty
+        raise ValueError(
+            "conjunctive BM25 does not compose with lang_col: the required "
+            "all-terms count is per query, not per (query, lang) — score "
+            "per-language batches separately or drop conjunctive"
+        )
     join_keys = ["term"] + ([lang_col] if lang_col else [])
     stats_cols = join_keys + ["idf", "avgdl"]
     candidates = (
@@ -123,9 +154,7 @@ def bm25_score_exhaustive(
             .filter(F.col("matched") == F.col("n_terms"))
             .drop("matched", "n_terms")
         )
-    return topk_per_group(scored, ["query_id"], "score", "docid", k).select(
-        "query_id", "rank", "docid", "score"
-    )
+    return scored
 
 
 def bm25f_tf_tilde(

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from ..config import BM25Config, TokenizerConfig
 from ..functions.text import tokenize_expr
 from ..operators.topk import topk_per_group
-from .bm25 import bm25_score_exhaustive
+from .bm25 import bm25_scored_candidates
 
 
 def prepare_query_phrases(
@@ -80,11 +80,15 @@ def phrase_topk(
     qt = query_phrases.select(
         "query_id", F.explode(F.array_distinct("ptoks")).alias("term")
     )
-    cand = bm25_score_exhaustive(
+    # unranked candidate scores: the adjacency verify below re-filters the
+    # set, so ranking here (a full per-query window sort over every
+    # conjunctive candidate) would be computed only to be discarded —
+    # the one top-k sort happens after verification (r5 ADVICE)
+    cand = bm25_scored_candidates(
         qt, tf, term_stats,
         tok_docs.select(F.col(docid_col).alias("docid"), "dl"),
-        bm25, k=2**31 - 1, conjunctive=True,
-    ).drop("rank")
+        bm25, conjunctive=True,
+    )
     verified = (
         cand.join(
             tok_docs.select(F.col(docid_col).alias("docid"), tokens_col),

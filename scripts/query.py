@@ -122,7 +122,7 @@ def main(argv=None) -> int:
         queries = spark.read.csv(args.queries, header=True)
     else:
         queries = spark.read.parquet(args.queries)
-    if args.scorer == "auto":
+    if args.scorer == "auto" and not args.phrase:
         from document_retrieval_spark.query.plan import choose_scorer
 
         args.scorer = choose_scorer(
@@ -143,8 +143,30 @@ def main(argv=None) -> int:
             prepare_query_phrases,
         )
 
+        if args.scorer != "auto":
+            # the phrase path has exactly one scorer (conjunctive candidates
+            # + adjacency verify); a chosen --scorer would silently not apply
+            print(f"note: --scorer {args.scorer} is ignored with --phrase")
         if args.lang_col:
             ap.error("--phrase does not compose with --lang-col yet")
+        # a per-LANGUAGE index breaks the phrase path even without
+        # --lang-col: idx.term_stats carries one row per (term, lang), and
+        # the candidate scorer joins stats on term alone — candidate rows
+        # duplicate per language, matched exceeds n_terms, and the
+        # conjunctive filter silently returns empty/wrong results
+        idx_lang = ((idx.manifest or {}).get("fingerprint", {})
+                    .get("index", {}).get("lang_col"))
+        extra_stat_cols = [
+            c for c in idx.term_stats.columns
+            if c not in ("term", "term_id", "df", "idf", "n_docs", "avgdl")
+        ]
+        if idx_lang or extra_stat_cols:
+            ap.error(
+                "--phrase requires a single-language index; this index is "
+                f"partitioned by {idx_lang or extra_stat_cols} (per-language "
+                "term stats would duplicate candidate rows and the "
+                "conjunctive all-terms filter would silently drop matches)"
+            )
         if idx.tf is None:
             ap.error("--phrase candidates come from the staged tf/ table, "
                      "which this index lacks")
