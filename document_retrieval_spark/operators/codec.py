@@ -21,12 +21,15 @@ from __future__ import annotations
 import numpy as np
 
 
-def vb_encode(vals: np.ndarray) -> bytes:
-    """Varbyte-encode a 1-D array of non-negative ints (little-endian 7-bit
-    groups, high bit set on all but the terminal byte of each value)."""
+def vb_encode_offsets(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Varbyte-encode a 1-D array of non-negative ints; returns
+    (byte array uint8, per-value byte offsets int64 of length n+1).
+    value i's encoding is bytes[offs[i]:offs[i+1]] — callers slicing a
+    bulk-encoded stream into blocks index this instead of re-encoding
+    per block."""
     vals = np.ascontiguousarray(vals, dtype=np.uint64)
     if vals.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
     nb = np.ones(vals.size, dtype=np.int64)
     for t in range(7, 64, 7):
         nb += (vals >= (np.uint64(1) << np.uint64(t))).astype(np.int64)
@@ -39,6 +42,13 @@ def vb_encode(vals: np.ndarray) -> bytes:
         chunk = (vals[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
         cont = (nb[mask] - 1) > k
         out[idx] = chunk.astype(np.uint8) | (cont.astype(np.uint8) << 7)
+    return out, offs
+
+
+def vb_encode(vals: np.ndarray) -> bytes:
+    """Varbyte-encode a 1-D array of non-negative ints (little-endian 7-bit
+    groups, high bit set on all but the terminal byte of each value)."""
+    out, _ = vb_encode_offsets(vals)
     return out.tobytes()
 
 

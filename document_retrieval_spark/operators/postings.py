@@ -227,6 +227,185 @@ def _encode_partitions(block_size: int, seg_postings: int, lang_col: str | None,
     return fn
 
 
+def _encode_partitions_arrow(block_size: int, seg_postings: int,
+                             lang_col: str | None, bm25: BM25Config,
+                             avgdl_by_lang: dict, key_col: str = "term"):
+    """mapInArrow twin of `_encode_partitions` — same input contract (FLAT
+    rows sorted by (key[, lang], salt, doc_ord) within each partition, salt
+    and doc_ord packed in _os, tf and dl packed in _td), same output
+    segments byte-for-byte, with the per-block Python eliminated:
+
+    - group/segment/block boundaries are computed as numpy index arrays
+      (blocks tile each batch contiguously, so one `np.maximum.reduceat`
+      yields every block's max quotient);
+    - the three varbyte streams are encoded ONCE over the whole batch
+      (codec.vb_encode_offsets) and blocks become int32 offset slices into
+      that buffer — the output BinaryArrays are built directly from the
+      offsets and the shared data buffer, zero per-block copies;
+    - term strings never surface as Python objects: group-change detection
+      runs on dictionary-encoded indices and output keys are an Arrow
+      `take` at segment starts.
+
+    The pandas encoder spent ~13 us/posting building per-block dicts and
+    re-invoking the codec per 128-posting block (measured r6, sf0.1); this
+    path is the same arithmetic over whole batches. The per-doc pandas
+    encoder remains behind SPARK_GRAFT_ENCODER=pandas as the executable
+    spec; tests assert segment equality between the two."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .codec import vb_encode_offsets
+
+    key_is_id = key_col == "term_id"
+    mask40 = np.int64((1 << 40) - 1)
+
+    def encode(batch: "pa.RecordBatch", lo: int, hi: int):
+        """Encode rows [lo, hi) of `batch` -> output RecordBatch."""
+        os_ = batch.column("_os").to_numpy()[lo:hi]
+        td = batch.column("_td").to_numpy()[lo:hi]
+        key_arr = batch.column(key_col).slice(lo, hi - lo)
+        if key_is_id:
+            keys_np = key_arr.to_numpy()
+        else:
+            keys_np = pc.dictionary_encode(key_arr).indices.to_numpy()
+        langs_np = lang_vals = None
+        if lang_col:
+            lang_arr = batch.column(lang_col).slice(lo, hi - lo)
+            lang_dict = pc.dictionary_encode(lang_arr)
+            langs_np = lang_dict.indices.to_numpy()
+            lang_vals = lang_dict.dictionary.to_pylist()
+        n = os_.size
+        salts = os_ >> np.int64(40)
+        ords = os_ & mask40
+        tfs = td >> np.int64(32)
+        dls = td & np.int64(0xFFFFFFFF)
+        change = np.ones(n, dtype=bool)
+        change[1:] = (keys_np[1:] != keys_np[:-1]) | (salts[1:] != salts[:-1])
+        if langs_np is not None:
+            change[1:] |= langs_np[1:] != langs_np[:-1]
+        gstarts = np.flatnonzero(change)
+        gends = np.append(gstarts[1:], n)
+        glens = gends - gstarts
+        nsegs = -(-glens // seg_postings)
+        seg_of_group = np.repeat(np.arange(gstarts.size), nsegs)
+        seg_cum = np.cumsum(nsegs) - nsegs
+        seg_in_group = (
+            np.arange(int(nsegs.sum())) - seg_cum[seg_of_group]
+        )
+        seg_starts = gstarts[seg_of_group] + seg_in_group * seg_postings
+        seg_ends = np.minimum(seg_starts + seg_postings, gends[seg_of_group])
+        seg_lens = seg_ends - seg_starts
+        nblocks = -(-seg_lens // block_size)
+        blk_of_seg = np.repeat(np.arange(seg_starts.size), nblocks)
+        blk_cum = np.cumsum(nblocks) - nblocks
+        blk_in_seg = (
+            np.arange(int(nblocks.sum())) - blk_cum[blk_of_seg]
+        )
+        blk_starts = seg_starts[blk_of_seg] + blk_in_seg * block_size
+        blk_ends = np.minimum(blk_starts + block_size, seg_ends[blk_of_seg])
+        if langs_np is not None:
+            # explicit lookup per distinct language: a missing language
+            # must KeyError at build time (same contract as the pandas twin)
+            vals = np.array([avgdl_by_lang[v] for v in lang_vals],
+                            dtype=np.float64)
+            avgdls = vals[langs_np]
+        else:
+            avgdls = avgdl_by_lang[None]
+        qs = _quotient_np(
+            tfs.astype(np.float64), dls.astype(np.float64), bm25, avgdls
+        )
+        # delta gaps, absolute at block starts; the strictly-increasing
+        # invariant (delta_encode's ValueError) checked batch-wide
+        gaps = np.empty(n, dtype=np.int64)
+        gaps[0] = ords[0]
+        gaps[1:] = ords[1:] - ords[:-1]
+        interior = np.ones(n, dtype=bool)
+        interior[blk_starts] = False
+        if np.any(gaps[interior] <= 0):
+            raise ValueError("ordinals must be strictly increasing")
+        gaps[blk_starts] = ords[blk_starts]
+        docs_buf, docs_off = vb_encode_offsets(gaps.astype(np.uint64))
+        tfs_buf, tfs_off = vb_encode_offsets(tfs.astype(np.uint64))
+        dls_buf, dls_off = vb_encode_offsets(dls.astype(np.uint64))
+
+        def bin_array(buf: np.ndarray, off: np.ndarray) -> pa.Array:
+            o32 = np.append(off[blk_starts], off[-1]).astype(np.int32)
+            return pa.Array.from_buffers(
+                pa.binary(), blk_starts.size,
+                [None, pa.py_buffer(o32.tobytes()),
+                 pa.py_buffer(buf.tobytes())],
+            )
+
+        blocks_struct = pa.StructArray.from_arrays(
+            [
+                pa.array(ords[blk_starts], pa.int64()),
+                pa.array(ords[blk_ends - 1], pa.int64()),
+                pa.array((blk_ends - blk_starts).astype(np.int32), pa.int32()),
+                pa.array(np.maximum.reduceat(qs, blk_starts), pa.float64()),
+                bin_array(docs_buf, docs_off),
+                bin_array(tfs_buf, tfs_off),
+                bin_array(dls_buf, dls_off),
+            ],
+            ["base", "last", "n", "max_q", "docs", "tfs", "dls"],
+        )
+        list_off = pa.array(
+            np.append(blk_cum, blk_of_seg.size).astype(np.int32), pa.int32()
+        )
+        blocks_list = pa.ListArray.from_arrays(list_off, blocks_struct)
+        seg_idx = pa.array(seg_starts, pa.int64())
+        cols = [key_arr.take(seg_idx)]
+        names = [key_col]
+        if lang_col:
+            cols.append(lang_arr.take(seg_idx))
+            names.append(lang_col)
+        cols += [
+            pa.array(seg_lens.astype(np.int32), pa.int32()),
+            pa.array(ords[seg_starts], pa.int64()),
+            pa.array(ords[seg_ends - 1], pa.int64()),
+            pa.array(np.maximum.reduceat(qs, seg_starts), pa.float64()),
+            blocks_list,
+        ]
+        names += ["n_postings", "first_ord", "last_ord", "max_q", "blocks"]
+        return pa.RecordBatch.from_arrays(cols, names)
+
+    carry_cols = [key_col] + ([lang_col] if lang_col else [])
+
+    def tail_group_start(batch: "pa.RecordBatch") -> int:
+        """Index where the trailing (key[, lang], salt) group begins."""
+        n = batch.num_rows
+        same = np.ones(n, dtype=bool)
+        for c in carry_cols:
+            col = batch.column(c)
+            lastv = col.slice(n - 1, 1)
+            same &= pc.equal(col, lastv[0]).to_numpy(zero_copy_only=False)
+        salts = batch.column("_os").to_numpy() >> np.int64(40)
+        same &= salts == salts[-1]
+        rev = same[::-1]
+        n_tail = int(np.argmin(rev)) if not rev.all() else n
+        return n - n_tail
+
+    def fn(batches):
+        carry: "pa.RecordBatch | None" = None
+        for b in batches:
+            if carry is not None and carry.num_rows:
+                b = pa.RecordBatch.from_arrays(
+                    [pa.concat_arrays([carry.column(i), b.column(i)])
+                     for i in range(b.num_columns)],
+                    schema=b.schema,
+                )
+            carry = None
+            if not b.num_rows:
+                continue
+            t = tail_group_start(b)
+            if t > 0:
+                yield encode(b, 0, t)
+            carry = b.slice(t)
+        if carry is not None and carry.num_rows:
+            yield encode(carry, 0, carry.num_rows)
+
+    return fn
+
+
 def build_postings(
     tf_ord: DataFrame,        # (docid, doc_ord, term, tf, dl[, lang])
     term_stats: DataFrame,    # (term[, lang], df, idf, n_docs, avgdl)
@@ -361,11 +540,25 @@ def build_postings(
     salt_of = F.shiftright(F.col("_os"), 40)
     parted = salted.select(*flat_cols).repartition(n_enc, *group_keys, salt_of)
     parted = parted.sortWithinPartitions(*group_keys, "_os")
-    seg = parted.mapInPandas(
-        _encode_partitions(idx_cfg.block_size, seg_postings, lang_col,
-                           bm25, avgdl_by_lang, key_col=key_col),
-        schema=_segment_schema(lang_col, key_col),
-    )
+    # Arrow-native vectorized encoder by default (whole-batch codec + zero
+    # per-block Python — measured ~2x the pandas encoder's stage CPU at
+    # sf0.1); SPARK_GRAFT_ENCODER=pandas keeps the per-group pandas twin
+    # (the executable spec) selectable for A/B and differential tests.
+    import os as _os_mod
+
+    if _os_mod.environ.get("SPARK_GRAFT_ENCODER", "arrow") == "pandas":
+        seg = parted.mapInPandas(
+            _encode_partitions(idx_cfg.block_size, seg_postings, lang_col,
+                               bm25, avgdl_by_lang, key_col=key_col),
+            schema=_segment_schema(lang_col, key_col),
+        )
+    else:
+        seg = parted.mapInArrow(
+            _encode_partitions_arrow(idx_cfg.block_size, seg_postings,
+                                     lang_col, bm25, avgdl_by_lang,
+                                     key_col=key_col),
+            schema=_segment_schema(lang_col, key_col),
+        )
     # dense per-term segment ids over the compressed rows (metadata only —
     # the WAND cursor orders segments by first_ord, not seg_id); df/idf
     # re-join and shard recomputes here, over ~#terms segment rows instead

@@ -257,3 +257,53 @@ def test_single_partition_ordinals_lazy_and_dense(spark):
     # ascending by docid
     ordered = [k for k, _ in sorted(a.items(), key=lambda kv: kv[1])]
     assert ordered == sorted(a)
+
+
+def test_arrow_encoder_matches_pandas_encoder(spark, transcripts_df, monkeypatch):
+    """The mapInArrow vectorized encoder and the per-group pandas encoder
+    (the executable spec) must produce the same segments byte-for-byte:
+    same (term, salt-range) segmentation, same block boundaries/bounds and
+    identical varbyte streams."""
+    from document_retrieval_spark.operators import assemble_documents
+    from document_retrieval_spark.operators.postings import (
+        assign_doc_ordinals,
+        build_postings,
+    )
+    from document_retrieval_spark.operators.stats import (
+        build_term_stats,
+        collection_stats,
+        term_frequencies,
+        tokenize_documents,
+    )
+
+    docs = tokenize_documents(assemble_documents(transcripts_df), REFERENCE_PROFILE)
+    docs_ord = assign_doc_ordinals(docs.select("docid", "dl"))
+    tf = term_frequencies(docs)
+    stats = build_term_stats(tf, collection_stats(docs))
+    tf_ord = tf.join(docs_ord, "docid")
+    # small blocks/segments + low salt threshold: multi-block, multi-segment,
+    # salted groups all exercised; tiny Arrow batches force the carry path
+    cfg = IndexConfig(n_shards=8, salt_df_threshold=10, n_salts=4, block_size=16)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        def norm(df):
+            rows = []
+            for r in df.collect():
+                rows.append((
+                    r["term"], r["n_postings"], r["first_ord"], r["last_ord"],
+                    round(r["max_q"], 12),
+                    tuple(
+                        (b["base"], b["last"], b["n"], round(b["max_q"], 12),
+                         bytes(b["docs"]), bytes(b["tfs"]), bytes(b["dls"]))
+                        for b in r["blocks"]
+                    ),
+                ))
+            return sorted(rows)
+
+        monkeypatch.setenv("SPARK_GRAFT_ENCODER", "pandas")
+        ref = norm(build_postings(tf_ord, stats, cfg, BM25Config(), seg_postings=64))
+        monkeypatch.setenv("SPARK_GRAFT_ENCODER", "arrow")
+        got = norm(build_postings(tf_ord, stats, cfg, BM25Config(), seg_postings=64))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+    assert got == ref
