@@ -452,10 +452,24 @@ def wand_topk(
     # batch, WAND phase 2->8-core speedup 2.4x -> 4.0x); for SMALL corpora
     # the overhead dominates — pass n_query_parts ~ 2x parallelism there
     # (measured: 129k-turn batch 4.8-6.2 s at 8x vs 3.8-3.9 s at 2x).
-    n_parts = n_query_parts or (
-        touched.sparkSession.sparkContext.defaultParallelism * 8
-    )
-    res = touched.repartition(n_parts, "query_id").groupBy("query_id").applyInPandas(
+    if n_query_parts is not None:
+        parted = touched.repartition(n_query_parts, "query_id")
+    elif terms is not None and len(terms) <= 64:
+        # SMALL batch (driver knows the term list — typically one query):
+        # the kernel work is a handful of segments, so scheduling dominates;
+        # a number-pinned repartition would launch par*8 mostly-EMPTY tasks
+        # per call (~hundreds of ms of pure task-launch on a 1-query
+        # latency path). A column-only repartition is an AQE coalesce
+        # target, so the exchange sizes itself to the actual bytes —
+        # one task for one query, which is exactly this layout's latency
+        # model (one core runs the whole query).
+        parted = touched.repartition("query_id")
+    else:
+        parted = touched.repartition(
+            touched.sparkSession.sparkContext.defaultParallelism * 8,
+            "query_id",
+        )
+    res = parted.groupBy("query_id").applyInPandas(
         score_group, schema="query_id string, rank int, doc_ord long, score double"
     )
     # map doc_ord -> docid by BROADCASTING THE CANDIDATES (<= k rows per
@@ -536,6 +550,13 @@ def _touched_segments(
     # (query_id, term) rows would duplicate a term's segments inside one
     # cursor and break the sorted-cursor invariant (doc ordinals must be
     # strictly increasing within a cursor).
+    if terms is not None and len(terms) <= 64:
+        # small batch (driver knows the term list — typically one query):
+        # a query DF born from createDataFrame is a parallelize RDD with
+        # defaultParallelism slices, so every evaluation launches that many
+        # Python tasks for a handful of rows (~190 ms of pure task launch
+        # per latency-path call, measured r6); fold it to one task first
+        query_terms = query_terms.coalesce(1)
     query_terms = query_terms.dropDuplicates(["query_id", *join_keys])
     if term_dict is not None and "term_id" in postings.columns:
         # ID-PUSHDOWN PATH (dict-mode index): translate the batch through
