@@ -74,7 +74,9 @@ def shingles(
     )
 
 
-def shingle_dictionary(sh: DataFrame, n_parts: int | None = None) -> DataFrame:
+def shingle_dictionary(
+    sh: DataFrame, n_parts: int | None = None, approx_rows: int | None = None
+) -> DataFrame:
     """-> (shingle, sid) dense 1-based ids, deterministic: equal to
     row_number over sorted distinct shingles (ties impossible), computed with
     the DISTRIBUTED two-pass ordinal pattern (operators/ordinals.py) — all
@@ -90,6 +92,7 @@ def shingle_dictionary(sh: DataFrame, n_parts: int | None = None) -> DataFrame:
         "sid",
         n_parts=n_parts,
         one_based=True,
+        approx_rows=approx_rows,
     )
 
 
@@ -297,7 +300,13 @@ def minhash_near_dupes(
     sh = shingles(docs, k=k)
     if cache:
         sh = sh.localCheckpoint(eager=True)
-    dictionary = shingle_dictionary(sh)
+    # the checkpointed row count is a free upper bound on distinct shingles:
+    # below dense_rank_ordinals' ~500k-keys-per-partition threshold the
+    # dictionary takes the single-range path (no range-sampling checkpoint,
+    # no offset machinery — several whole jobs of fixed floor); at scale the
+    # bound exceeds it and the distributed two-pass plan is unchanged
+    approx = sh.count() if cache else None
+    dictionary = shingle_dictionary(sh, approx_rows=approx)
     ids = sh.join(dictionary, "shingle").select("doc_id", "sid")
     cand = lsh_candidate_pairs(
         lsh_bands_wide(ids, n_hashes=n_hashes, rows_per_band=rows_per_band)
