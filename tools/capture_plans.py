@@ -45,7 +45,8 @@ def digest(plan: str) -> dict:
             part = re.sub(r"#\d+L?", "", part)  # expr ids churn run-to-run
             exchanges.append(part)
     arrow = re.findall(
-        r"(FlatMapGroupsInPandas|MapInPandas|ArrowEvalPython|BatchEvalPython)",
+        r"(FlatMapGroupsInPandas|FlatMapGroupsInArrow|MapInPandas|MapInArrow"
+        r"|ArrowEvalPython|BatchEvalPython)",
         plan,
     )
     bhj = len(re.findall(r"BroadcastHashJoin", plan))
