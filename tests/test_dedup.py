@@ -157,3 +157,28 @@ def test_hot_shingle_candidate_path_no_quadratic_blowup(spark):
     }
     assert ("d00000", "d00002") not in capped
     assert capped[("d00000", "d00001")] == 1.0
+
+
+def test_wide_bands_equal_long_form(docs):
+    """lsh_bands_wide (one MIN aggregation + stack, the minhash_near_dupes
+    fast path since r6) must be row-identical to the long-form
+    minhash_signatures -> lsh_bands pipeline, including a non-divisible
+    n_hashes/rows_per_band split (trailing short band)."""
+    from document_retrieval_spark.operators.dedup import lsh_bands_wide
+
+    sh = shingles(docs, k=3)
+    d = shingle_dictionary(sh)
+    ids = sh.join(d, "shingle").select("doc_id", "sid")
+    for n_hashes, rpb in ((16, 4), (10, 4)):
+        long_form = sorted(
+            (r["doc_id"], r["band"], r["band_key"])
+            for r in lsh_bands(
+                minhash_signatures(sh, d, n_hashes=n_hashes), rpb
+            ).collect()
+        )
+        wide = sorted(
+            (r["doc_id"], r["band"], r["band_key"])
+            for r in lsh_bands_wide(ids, n_hashes=n_hashes,
+                                    rows_per_band=rpb).collect()
+        )
+        assert wide == long_form
