@@ -145,13 +145,45 @@ class _Cursor:
         else:
             self.done = True
 
+    def _bulk_decode(self, i: int, j: int):
+        """Decode blocks [i, j) of the current segment with ONE varbyte
+        decode per stream (vs three numpy-heavy decodes per 128-posting
+        block — the kernel's measured hot spot). Varbyte streams
+        concatenate cleanly; each block's first doc value is stored
+        ABSOLUTE, so the chained cumsum is fixed with one segmented
+        correction (exact int64 arithmetic — decoded ordinals are
+        bit-identical to per-block delta_decode)."""
+        bl = self._cur_blocks()[i:j]
+        gaps = vb_decode(b"".join(bytes(b["docs"]) for b in bl)).astype(
+            np.int64
+        )
+        ords = np.cumsum(gaps)
+        if len(bl) > 1:
+            ns = np.array([b["n"] for b in bl], dtype=np.int64)
+            starts = np.zeros(len(bl), dtype=np.int64)
+            np.cumsum(ns[:-1], out=starts[1:])
+            # carry accumulated INTO each block's first element; the first
+            # block's carry is 0 by construction
+            corr = ords[starts] - gaps[starts]
+            ords -= np.repeat(corr, ns)
+        tfs = vb_decode(b"".join(bytes(b["tfs"]) for b in bl)).astype(
+            np.float64
+        )
+        dls = vb_decode(b"".join(bytes(b["dls"]) for b in bl)).astype(
+            np.float64
+        )
+        return ords, tfs, dls
+
     def take_upto(self, end: int) -> tuple[np.ndarray, np.ndarray]:
         """Gather (doc_ords, scores) for every posting with
         cur_doc <= doc_ord <= end and advance past them — the vectorized
         batch twin of cur_score()+advance(). Score arithmetic is the exact
         elementwise expression of cur_score() (quotient first, then * idf)
         in the same float64 ops, so batch scores are bit-identical to the
-        per-doc path."""
+        per-doc path. Runs of WHOLE blocks within the consumed range are
+        decoded in one segmented shot (_bulk_decode); partially consumed
+        blocks keep the per-block path, and blocks a seek skips are still
+        never decoded."""
         out_o: list[np.ndarray] = []
         out_s: list[np.ndarray] = []
         while not self.done and self.cur_doc() <= end:
@@ -176,9 +208,22 @@ class _Cursor:
                 self.pos = j
                 self._clamp()
                 break
-            # consumed the whole block — enter the next one
-            self.blk_i += 1
-            if self.blk_i >= len(self._cur_blocks()):
+            # consumed the whole loaded block — bulk-consume the following
+            # run of blocks that fit entirely inside [.., end] and below
+            # the hi clamp, then enter the first block past the run
+            blocks = self._cur_blocks()
+            nb = len(blocks)
+            k = self.blk_i + 1
+            lim = end if self.hi is None else min(end, self.hi - 1)
+            while k < nb and blocks[k]["last"] <= lim:
+                k += 1
+            if k > self.blk_i + 1:
+                ords, tf, dl = self._bulk_decode(self.blk_i + 1, k)
+                denom = tf + self.k1 * (self.one_minus_b + dl * self.b_over)
+                out_o.append(ords)
+                out_s.append(self.idf * (tf * (self.k1 + 1.0) / denom))
+            self.blk_i = k
+            if self.blk_i >= nb:
                 self.seg_i += 1
                 self.blk_i = 0
                 if self.seg_i >= len(self.segs):
@@ -191,6 +236,25 @@ class _Cursor:
         if len(out_o) == 1:
             return out_o[0], out_s[0]
         return np.concatenate(out_o), np.concatenate(out_s)
+
+    def block_last_ahead(self, w: int) -> int:
+        """last doc ordinal of the block (w-1) ahead of the current one in
+        this segment (clamped to the segment's final block) — the strip
+        boundary for a w-block-wide strip. w=1 == cur_block_last()."""
+        blocks = self._cur_blocks()
+        return int(blocks[min(self.blk_i + w - 1, len(blocks) - 1)]["last"])
+
+    def block_ub_ahead(self, w: int) -> float:
+        """idf * max block quotient over the current and next (w-1) blocks
+        — a valid upper bound for any posting this cursor contributes to a
+        strip that ends at or before block_last_ahead(w). w=1 ==
+        cur_block_ub(). Metadata only; decodes nothing."""
+        m = 0.0
+        for b in self._cur_blocks()[self.blk_i : self.blk_i + w]:
+            q = b["max_q"]
+            if q > m:
+                m = q
+        return self.idf * m
 
     def seek(self, target: int):
         """Advance to the first posting with doc_ord >= target."""
@@ -336,6 +400,17 @@ def _wand_one_query_blocked(
         if n_cand >= k and n_cand:
             theta = float(s.min())
 
+    # ADAPTIVE strip width: a strip is bounded by the nearest w-blocks-ahead
+    # end across alive cursors. Width doubles (cap 8) after every SCORED
+    # strip and resets to 1 on a skip: dense regions where pruning isn't
+    # firing anyway get consumed in multi-block strips (one segmented
+    # varbyte decode per stream instead of three numpy decodes per
+    # 128-posting block — the kernel's measured hot spot), while prunable
+    # regions keep single-block skip granularity. Exactness is unchanged:
+    # scored strips only ever widen the candidate superset (the final
+    # compress applies the exact tie rule), and a skipped strip uses the
+    # valid w-block max bound.
+    w = 1
     alive = [c for c in cursors if not c.done]
     while alive:
         total_ub = 0.0
@@ -343,16 +418,17 @@ def _wand_one_query_blocked(
             total_ub += c.ub
         if total_ub <= theta:
             break  # no remaining doc anywhere can beat theta
-        strip_end = min(c.cur_block_last() for c in alive)
+        strip_end = min(c.block_last_ahead(w) for c in alive)
         overlapping = [c for c in alive if c.cur_doc() <= strip_end]
         strip_ub = 0.0
         for c in overlapping:
-            strip_ub += c.cur_block_ub()
+            strip_ub += c.block_ub_ahead(w)
         if strip_ub <= theta:
             # BMW shallow skip, strip-wide: metadata-only seek past the
             # strip (seek decodes only the landing block)
             for c in overlapping:
                 c.seek(strip_end + 1)
+            w = 1
         else:
             overlapping.sort(key=lambda c: c.order_key)
             parts_o: list[np.ndarray] = []
@@ -376,6 +452,7 @@ def _wand_one_query_blocked(
                     n_cand += nkeep
                     if n_cand >= compress_at:
                         compress()
+            w = min(w * 2, 8)
         alive = [c for c in alive if not c.done]
     if not cand_o:
         return []
