@@ -357,12 +357,15 @@ def _wand_one_query_blocked(
 
     The per-doc kernel spends O(union-size) Python iterations per query
     (sort + list rebuilds per pivot doc). Here the doc-ordinal axis is
-    processed in STRIPS bounded by the nearest current-block end across
-    alive cursors: a strip whose summed block-max upper bound can't beat
-    theta is skipped whole (the same skip boundary as BMW's shallow skip —
-    block pruning granularity is identical), and a surviving strip is
-    gathered and scored as NumPy arrays (`_Cursor.take_upto`), ~block_size
-    postings per interpreter iteration instead of one.
+    processed in STRIPS bounded by the nearest w-blocks-ahead end across
+    alive cursors (w adapts: doubling after scored strips up to 8, reset
+    to 1 on a skip — dense regions bulk-decode, prunable regions keep
+    single-block skip granularity): a strip whose summed w-block-max upper
+    bound can't beat theta is skipped whole (at w=1 exactly BMW's shallow
+    skip boundary), and a surviving strip is gathered and scored as NumPy
+    arrays (`_Cursor.take_upto`, with runs of whole blocks decoded in one
+    segmented varbyte pass), hundreds to thousands of postings per
+    interpreter iteration instead of one.
 
     Exactness: every doc in strip [d, strip_end] can only carry terms whose
     cursors currently overlap the strip (cur_doc <= strip_end), so their
